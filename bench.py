@@ -1,0 +1,78 @@
+"""Headline benchmark: DeepFM CTR train-step throughput (examples/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors the reference's DeepFM defaults (embedding_dim=32,
+hidden_units=[64,64,64], Adam 1e-3 — rec_pangu/models/ranking/deepfm.py:14-18,
+rec_pangu/trainer.py:75) on a production-shaped synthetic workload
+(batch 8192, 16 sparse features x 100k vocab, 9 dense).
+
+Baseline: the same model/config in plain PyTorch on CPU (the reference is
+CPU/GPU torch; this image has CPU torch), measured by scripts/baseline_torch.py
+on this machine: 16,883 examples/s.
+"""
+import json
+import time
+
+import numpy as np
+
+BATCH = 8192
+NUM_SPARSE = 16
+NUM_DENSE = 9
+VOCAB = 100_000
+DIM = 32
+STEPS = 50
+WARMUP = 5
+
+BASELINE_EXAMPLES_PER_S = 16_883.0  # torch-cpu (scripts/baseline_torch.py)
+
+
+def main():
+    import jax
+
+    from rec_pangu_tpu.models import get_model
+    from rec_pangu_tpu.train.optim import make_optimizer
+    from rec_pangu_tpu.train.steps import create_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    enc_dict = {}
+    for i in range(NUM_DENSE):
+        enc_dict[f"dense_{i}"] = {"min": 0.0, "max": 1.0}
+    for i in range(NUM_SPARSE):
+        enc_dict[f"sparse_{i}"] = {"vocab_size": VOCAB}
+    batch = {
+        "sparse": rng.integers(0, VOCAB, (BATCH, NUM_SPARSE), dtype=np.int32),
+        "dense": rng.random((BATCH, NUM_DENSE), dtype=np.float32),
+        "label": rng.integers(0, 2, (BATCH,)).astype(np.float32),
+    }
+
+    model = get_model("DeepFM")(enc_dict=enc_dict, embedding_dim=DIM)
+    tx = make_optimizer(1e-3, steps_per_epoch=1)
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    train_step = make_train_step(state.batch_stats is not None)
+    step_rng = jax.random.PRNGKey(1)
+
+    batch = jax.device_put(batch)
+    for _ in range(WARMUP):
+        state, out = train_step(state, batch, step_rng)
+    # sync via scalar fetch: block_until_ready alone is unreliable over the
+    # axon relay, and fetching a scalar forces the whole dependent chain
+    float(out["loss"])
+
+    start = time.perf_counter()
+    for _ in range(STEPS):
+        state, out = train_step(state, batch, step_rng)
+    float(out["loss"])
+    elapsed = time.perf_counter() - start
+
+    eps = BATCH * STEPS / elapsed
+    print(json.dumps({
+        "metric": "deepfm_train_examples_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(eps / BASELINE_EXAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

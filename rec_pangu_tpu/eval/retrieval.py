@@ -1,0 +1,115 @@
+"""Full-corpus retrieval eval — the faiss replacement.
+
+Parity targets:
+* get_recall_predict <- rec_pangu/utils/evaluate.py:14-87 — L2-normalize item
+  and user embeddings, brute-force inner-product top-N (faiss IndexFlatIP);
+  multi-interest [B,K,D] flattens to B*K queries whose results are merged per
+  user by score desc with dedup, skipping item id 0 (evaluate.py:68-86);
+  the single-interest path keeps raw top-N ids unfiltered (evaluate.py:59-66).
+* evaluate_recall   <- rec_pangu/utils/evaluate.py:90-143 — including its
+  idiosyncratic ndcg: idcg is computed from the *final* per-user hit count.
+
+TPU-native departure: scoring is one jitted ``[B,D] x [D,V]`` matmul (MXU)
+plus ``jax.lax.top_k`` on device, instead of a host round-trip into C++ faiss.
+The matmul is batched over the eval loader; see parallel/topk.py for the
+device-sharded variant.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-normalize; zero rows stay zero (sklearn.preprocessing.normalize parity)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def make_topn_scorer(item_embs: jnp.ndarray, topn: int):
+    """Returns a jitted fn: user_embs [B, D] -> (scores [B, topn], ids [B, topn])."""
+    items = l2_normalize(item_embs.astype(jnp.float32))
+
+    @jax.jit
+    def score(user_embs: jnp.ndarray):
+        u = l2_normalize(user_embs.astype(jnp.float32))
+        s = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, topn)
+
+    return score
+
+
+def merge_multi_interest(ids: np.ndarray, scores: np.ndarray, topn: int) -> List[int]:
+    """Merge K interest result lists for one user: sort by score desc, dedup,
+    drop padding item 0, keep topn (parity: evaluate.py:77-86)."""
+    flat = sorted(zip(ids.reshape(-1).tolist(), scores.reshape(-1).tolist()),
+                  key=lambda t: t[1], reverse=True)
+    seen: List[int] = []
+    seen_set = set()
+    for iid, _ in flat:
+        if iid != 0 and iid not in seen_set:
+            seen.append(iid)
+            seen_set.add(iid)
+            if len(seen) >= topn:
+                break
+    return seen
+
+
+def get_recall_predict(model, variables, test_loader, topn: int = 200,
+                       user_emb_key: str = "user_emb") -> Dict[str, List[int]]:
+    """Run the model over the eval loader and return {user: top-N item ids}."""
+    item_embs = model.apply(variables, method="output_items")
+    scorer = make_topn_scorer(item_embs, topn)
+
+    user_fn = jax.jit(lambda batch: model.apply(variables, batch, False))
+
+    preds: Dict[str, List[int]] = {}
+    for batch in test_loader:
+        users = batch.pop("user")
+        out = user_fn(batch)
+        user_embs = np.asarray(out[user_emb_key])
+        if user_embs.ndim == 2:
+            _, ids = scorer(user_embs)
+            ids = np.asarray(ids)
+            for i, u in enumerate(users):
+                preds[str(u)] = ids[i].tolist()
+        else:
+            B, K, D = user_embs.shape
+            scores, ids = scorer(user_embs.reshape(B * K, D))
+            scores, ids = np.asarray(scores).reshape(B, K, -1), np.asarray(ids).reshape(B, K, -1)
+            for i, u in enumerate(users):
+                preds[str(u)] = merge_multi_interest(ids[i], scores[i], topn)
+    return preds
+
+
+def evaluate_recall(preds: Dict[str, List[int]], test_gd: Dict[str, List[int]],
+                    topn: int = 50) -> Dict[str, float]:
+    total_recall = 0.0
+    total_ndcg = 0.0
+    total_hitrate = 0
+    for user, item_list in test_gd.items():
+        if user not in preds:
+            continue
+        topk = list(preds[user][:topn])
+        recall = 0
+        dcg = 0.0
+        for item_id in item_list:
+            if item_id in topk:
+                recall += 1
+                dcg += 1.0 / math.log2(topk.index(item_id) + 2)
+        # reference quirk: idcg uses the FINAL hit count (evaluate.py:126-133)
+        idcg = sum(1.0 / math.log2(no + 2) for no in range(recall))
+        total_recall += recall * 1.0 / len(item_list)
+        if recall > 0:
+            total_ndcg += dcg / idcg
+            total_hitrate += 1
+    total = len(test_gd)
+    return {
+        f"recall@{topn}": round(total_recall / total, 4),
+        f"ndcg@{topn}": round(total_ndcg / total, 4),
+        f"hitrate@{topn}": round(total_hitrate * 1.0 / total, 4),
+    }

@@ -1,0 +1,133 @@
+"""Model base classes + registry.
+
+The universal model contract (parity with SURVEY.md §1): every model is a pure
+function of a fused batch dict and returns a dict —
+
+* ranking:    ``{'pred': sigmoid(logit), 'loss': bce}``   (loss only when train)
+* multi-task: ``{'task{i}_pred': ..., 'loss': ...}``
+* sequence:   ``{'user_emb': [B,D] or [B,K,D], 'loss': full-softmax CE}``
+
+Reference counterparts: rec_pangu/models/base_model.py
+(BaseModel:14, SequenceBaseModel:93).  The registry replaces the reference's
+``eval(model_name)`` dispatch (rec_pangu/benchmark_trainer.py:66).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..data.encoder import OOV_SENTINEL, FeatureSpec
+from ..ops.embedding import ItemEmbedding
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
+MODEL_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(name: str) -> Callable[[type], type]:
+    def deco(cls: type) -> type:
+        MODEL_REGISTRY[name] = cls
+        MODEL_REGISTRY[name.lower()] = cls
+        return cls
+
+    return deco
+
+
+def get_model(name: str) -> type:
+    if name in MODEL_REGISTRY:
+        return MODEL_REGISTRY[name]
+    if name.lower() in MODEL_REGISTRY:
+        return MODEL_REGISTRY[name.lower()]
+    raise KeyError(f"Unknown model {name!r}; registered: "
+                   f"{sorted(k for k in MODEL_REGISTRY if not k.islower())}")
+
+
+# --------------------------------------------------------------------------- #
+# ranking / multitask base
+# --------------------------------------------------------------------------- #
+class RankModelBase(nn.Module):
+    """Children declare hyperparam fields + ``enc_dict`` and implement
+    ``__call__(batch, train)``."""
+
+    @property
+    def spec(self) -> FeatureSpec:
+        return FeatureSpec.from_enc_dict(self.enc_dict)
+
+    @property
+    def num_sparse(self) -> int:
+        return self.spec.num_sparse
+
+    @property
+    def num_dense(self) -> int:
+        return self.spec.num_dense
+
+    def dnn_input_dim(self, embedding_dim: int) -> int:
+        """Parity: rec_pangu/models/utils.py:140 (get_dnn_input_dim)."""
+        return self.num_sparse * embedding_dim + self.num_dense
+
+
+# --------------------------------------------------------------------------- #
+# sequence base
+# --------------------------------------------------------------------------- #
+class SequenceModelBase(nn.Module):
+    """Shared machinery for sequence-recall models.
+
+    Children call ``self.setup_base()`` from their ``setup`` to get
+    ``self.item_emb`` (+ per-cate-col embeddings) and use the helpers below.
+    ``config`` keys follow the reference (embedding_dim, max_length, ...).
+    """
+
+    enc_dict: Any = None
+    config: Any = None
+
+    def setup_base(self) -> None:
+        item_col = self.config.get("item_col", "item_id")
+        vocab = int(self.enc_dict[item_col][OOV_SENTINEL])
+        dim = int(self.config["embedding_dim"])
+        self.item_emb = ItemEmbedding(vocab, dim)
+        cate_embs = {}
+        for col in self.config.get("cate_cols", []) or []:
+            cate_embs[col] = ItemEmbedding(int(self.enc_dict[col][OOV_SENTINEL]), dim)
+        self.cate_embs = cate_embs
+
+    @property
+    def embedding_dim(self) -> int:
+        return int(self.config["embedding_dim"])
+
+    @property
+    def max_length(self) -> int:
+        return int(self.config["max_length"])
+
+    def output_items(self) -> jnp.ndarray:
+        """Full item table [V, D] (row 0 zeroed; parity: base_model.py:155-162)."""
+        return self.item_emb.all_items()
+
+    def calculate_loss(self, user_emb: jnp.ndarray, pos_item: jnp.ndarray) -> jnp.ndarray:
+        """Full-softmax CE of user_emb against the whole item table
+        (parity: base_model.py:124-138 — the B x V hot matmul)."""
+        all_items = self.output_items()
+        scores = jnp.dot(user_emb, all_items.T, preferred_element_type=jnp.float32)
+        logprobs = jax.nn.log_softmax(scores, axis=-1)
+        pos = pos_item.reshape(-1)
+        nll = -jnp.take_along_axis(logprobs, pos[:, None], axis=1)[:, 0]
+        return jnp.mean(nll)
+
+    @staticmethod
+    def gather_indexes(output: jnp.ndarray, gather_index: jnp.ndarray) -> jnp.ndarray:
+        """[B, L, D] gathered at per-row index [B] -> [B, D] (base_model.py:140-153)."""
+        idx = gather_index.reshape(-1, 1, 1)
+        return jnp.take_along_axis(output, jnp.broadcast_to(idx, (output.shape[0], 1, output.shape[2])), axis=1)[:, 0]
+
+    @staticmethod
+    def get_attention_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+        """[B, L] 0/1 mask -> additive causal mask [B, 1, L, L] with -1e6 at
+        masked positions (parity: base_model.py:164-193)."""
+        L = attention_mask.shape[-1]
+        ext = attention_mask[:, None, None, :]  # [B,1,1,L]
+        causal = jnp.tril(jnp.ones((1, 1, L, L), dtype=attention_mask.dtype))
+        combined = ext * causal
+        return (1.0 - combined) * -1e6

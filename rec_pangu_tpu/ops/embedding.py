@@ -1,0 +1,81 @@
+"""Fused embedding engine — the single table behind every model.
+
+Replaces the reference's per-feature ``nn.ModuleDict`` of embeddings
+(rec_pangu/models/layers/embedding.py:28-71) and the sequence models'
+``item_emb`` (rec_pangu/models/base_model.py:116-120) with ONE parameter table
+per embedding dim:
+
+* ranking fields: all F features share a fused ``[total_rows, D]`` table with
+  static per-feature row offsets; a batch lookup is a **single gather** of
+  ``[B, F]`` (+offsets) -> ``[B, F, D]`` — one HBM-friendly op instead of F
+  tiny ones, and the natural unit to row-shard over the ``model`` mesh axis.
+* sequence item/cate vocabularies: :class:`ItemEmbedding` with row 0 pinned to
+  zero (parity with ``padding_idx=0``) by construction — row 0 is multiplied
+  by a 0/1 mask on every read, which also zeroes its gradient.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.encoder import FeatureSpec
+
+EMB_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class FusedEmbedding(nn.Module):
+    spec: FeatureSpec
+    embedding_dim: int
+
+    def setup(self):
+        self.table = self.param(
+            "table", EMB_INIT, (self.spec.total_rows, self.embedding_dim)
+        )
+        self._offsets = jnp.asarray(self.spec.offsets)
+
+    def __call__(self, sparse_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, F] int ids (per-feature local) -> [B, F, D]."""
+        fused_ids = sparse_ids + self._offsets[None, :]
+        return jnp.take(self.table, fused_ids, axis=0)
+
+    def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        """Lookup one feature's sub-table with local ids of any shape."""
+        i = self.spec.sparse_names.index(name)
+        return jnp.take(self.table, ids + int(self.spec.offsets[i]), axis=0)
+
+
+class ItemEmbedding(nn.Module):
+    """Sequence vocabulary table with padding row 0 pinned at zero."""
+
+    vocab_size: int
+    embedding_dim: int
+
+    def setup(self):
+        self.table = self.param(
+            "table", EMB_INIT, (self.vocab_size, self.embedding_dim)
+        )
+
+    def all_items(self) -> jnp.ndarray:
+        """Full table with row 0 zeroed (parity: item_emb.weight with padding_idx=0)."""
+        row_ids = jnp.arange(self.vocab_size)[:, None]
+        return self.table * (row_ids != 0)
+
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        emb = jnp.take(self.table, ids, axis=0)
+        return emb * (ids != 0)[..., None]
+
+
+class LRLayer(nn.Module):
+    """Wide/linear part (parity: rec_pangu/models/layers/shallow.py:14-27):
+    1-dim fused embedding of sparse features ++ dense passthrough -> Dense(1)."""
+
+    spec: FeatureSpec
+
+    @nn.compact
+    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray) -> jnp.ndarray:
+        emb = FusedEmbedding(self.spec, 1)(sparse_ids)[..., 0]  # [B, F]
+        x = jnp.concatenate([emb, dense], axis=1)
+        return nn.Dense(1, kernel_init=EMB_INIT)(x)

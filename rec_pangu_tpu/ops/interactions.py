@@ -1,0 +1,240 @@
+"""Feature-interaction primitives — the CTR kernel surface.
+
+Parity targets (rec_pangu/models/layers/interaction.py):
+* inner_product            <- InnerProductLayer:12-52 (4 output modes)
+* FMLayer                  <- FM_Layer:225-235
+* BilinearInteraction      <- BilinearInteractionLayer:55-81
+* CrossNet                 <- CrossNet:119-141 (X_{i+1} = X_i + (w·X_i)X_0 + b)
+* CompressedInteractionNet <- CompressedInteractionNet:144-171 (xDeepFM CIN)
+* SENETLayer               <- SENET_Layer:238-251
+* MaskBlock                <- MaskBlock:254-283
+* InteractionMachine       <- InteractionMachine:174-222
+* HolographicInteraction   <- HolographicInteractionLayer:84-116 (the reference
+  version is dead code on torch>=1.8; this one actually works, via jnp.fft)
+
+TPU-first formulation notes: per-field torch ``ModuleList`` loops become single
+batched einsums over stacked ``[F, D, D]`` / ``[P, D, D]`` weight tensors
+(MXU-shaped, one fused op instead of O(F^2) tiny matmuls); CIN's Conv1d(k=1)
+is expressed directly as a channel-contraction einsum.
+"""
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _pair_indices(num_fields: int):
+    p, q = zip(*combinations(range(num_fields), 2))
+    return np.asarray(p, np.int32), np.asarray(q, np.int32)
+
+
+def inner_product(feature_emb: jnp.ndarray, output: str = "product_sum_pooling") -> jnp.ndarray:
+    """FM pairwise interactions over [B, F, D].
+
+    Modes: product_sum_pooling [B,1]; Bi_interaction_pooling [B,D];
+    inner_product [B, F(F-1)/2]; elementwise_product [B, F(F-1)/2, D].
+    """
+    if output in ("product_sum_pooling", "Bi_interaction_pooling"):
+        sum_of_square = jnp.sum(feature_emb, axis=1) ** 2
+        square_of_sum = jnp.sum(feature_emb**2, axis=1)
+        bi = (sum_of_square - square_of_sum) * 0.5
+        if output == "Bi_interaction_pooling":
+            return bi
+        return jnp.sum(bi, axis=-1, keepdims=True)
+    F = feature_emb.shape[1]
+    p, q = _pair_indices(F)
+    e1 = feature_emb[:, p, :]
+    e2 = feature_emb[:, q, :]
+    if output == "elementwise_product":
+        return e1 * e2
+    if output == "inner_product":
+        return jnp.sum(e1 * e2, axis=-1)
+    raise ValueError(f"inner_product output={output!r} is not supported")
+
+
+class FMLayer(nn.Module):
+    """product_sum_pooling + optional final activation -> [B, 1]."""
+
+    @nn.compact
+    def __call__(self, feature_emb: jnp.ndarray) -> jnp.ndarray:
+        return inner_product(feature_emb, "product_sum_pooling")
+
+
+class BilinearInteraction(nn.Module):
+    """FiBiNet bilinear interaction over field pairs -> [B, F(F-1)/2, D]."""
+
+    bilinear_type: str = "field_interaction"
+
+    @nn.compact
+    def __call__(self, feature_emb: jnp.ndarray) -> jnp.ndarray:
+        B, F, D = feature_emb.shape
+        p, q = _pair_indices(F)
+        if self.bilinear_type == "field_all":
+            W = self.param("weight", KERNEL_INIT, (D, D))
+            proj = jnp.einsum("bfd,de->bfe", feature_emb, W)
+            return proj[:, p, :] * feature_emb[:, q, :]
+        if self.bilinear_type == "field_each":
+            W = self.param("weight", KERNEL_INIT, (F, D, D))
+            proj = jnp.einsum("bfd,fde->bfe", feature_emb, W)
+            return proj[:, p, :] * feature_emb[:, q, :]
+        if self.bilinear_type == "field_interaction":
+            P = len(p)
+            W = self.param("weight", KERNEL_INIT, (P, D, D))
+            e1 = feature_emb[:, p, :]
+            proj = jnp.einsum("bpd,pde->bpe", e1, W)
+            return proj * feature_emb[:, q, :]
+        raise NotImplementedError(self.bilinear_type)
+
+
+class CrossNet(nn.Module):
+    """DCN cross network over [B, D]: X_{i+1} = X_i + (X_i w_i) X_0 + b_i."""
+
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+        D = x0.shape[-1]
+        xi = x0
+        for i in range(self.num_layers):
+            w = self.param(f"w_{i}", KERNEL_INIT, (D, 1))
+            b = self.param(f"b_{i}", nn.initializers.zeros, (D,))
+            xi = xi + (xi @ w) * x0 + b
+        return xi
+
+
+class CompressedInteractionNet(nn.Module):
+    """xDeepFM CIN over [B, F, D] -> [B, output_dim].
+
+    Layer i: outer product of X_0 [B,F,D] and X_i [B,H_i,D] along fields, then
+    a 1x1 "conv" (= contraction over the F*H_i channel axis) to H_{i+1}
+    channels; sum-pool each layer over D and Dense the concat.
+    """
+
+    num_fields: int
+    cin_layer_units: Sequence[int]
+    output_dim: int = 1
+
+    @nn.compact
+    def __call__(self, feature_emb: jnp.ndarray) -> jnp.ndarray:
+        x0 = feature_emb  # [B, F, D]
+        xi = x0
+        pooled = []
+        for i, units in enumerate(self.cin_layer_units):
+            in_ch = self.num_fields * xi.shape[1]
+            kernel = self.param(f"conv_{i}_kernel", KERNEL_INIT, (in_ch, units))
+            bias = self.param(f"conv_{i}_bias", nn.initializers.zeros, (units,))
+            had = jnp.einsum("bhd,bmd->bhmd", x0, xi)
+            had = had.reshape(had.shape[0], -1, had.shape[-1])  # [B, F*H, D]
+            xi = jnp.einsum("bcd,co->bod", had, kernel) + bias[None, :, None]
+            pooled.append(jnp.sum(xi, axis=-1))  # [B, units]
+        concat = jnp.concatenate(pooled, axis=-1)
+        return nn.Dense(self.output_dim, kernel_init=KERNEL_INIT)(concat)
+
+
+class SENETLayer(nn.Module):
+    """Squeeze-excitation over fields: rescale each field embedding."""
+
+    reduction_ratio: int = 3
+
+    @nn.compact
+    def __call__(self, feature_emb: jnp.ndarray) -> jnp.ndarray:
+        F = feature_emb.shape[1]
+        reduced = max(1, F // self.reduction_ratio)
+        z = jnp.mean(feature_emb, axis=-1)  # [B, F]
+        a = nn.Dense(reduced, use_bias=False, kernel_init=KERNEL_INIT)(z)
+        a = nn.relu(a)
+        a = nn.Dense(F, use_bias=False, kernel_init=KERNEL_INIT)(a)
+        a = nn.relu(a)
+        return feature_emb * a[..., None]
+
+
+class MaskBlock(nn.Module):
+    """MaskNet block: LN(net) ⊙ mask-MLP(mask_input) -> Dense -> LN."""
+
+    output_size: int
+    reduction_factor: float
+
+    @nn.compact
+    def __call__(self, net: jnp.ndarray, mask_input: jnp.ndarray) -> jnp.ndarray:
+        input_dim = net.shape[-1]
+        agg = int(mask_input.shape[-1] * self.reduction_factor)
+        net = nn.LayerNorm()(net)
+        mask = nn.Dense(agg, kernel_init=KERNEL_INIT)(mask_input)
+        mask = nn.relu(mask)
+        mask = nn.Dense(input_dim, kernel_init=KERNEL_INIT)(mask)
+        hidden = nn.Dense(self.output_size, kernel_init=KERNEL_INIT)(net * mask)
+        return nn.LayerNorm()(hidden)
+
+
+class InteractionMachine(nn.Module):
+    """Closed-form order-2..5 interactions over [B, F, D] -> [B, 1]."""
+
+    order: int = 2
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        assert self.order < 6, f"order={self.order} is not supported"
+        out = []
+        q = x
+        p1 = q.sum(axis=1)
+        out.append(p1)
+        if self.order >= 2:
+            q = q * x
+            p2 = q.sum(axis=1)
+            out.append((p1**2 - p2) / 2)
+        if self.order >= 3:
+            q = q * x
+            p3 = q.sum(axis=1)
+            out.append((p1**3 - 3 * p1 * p2 + 2 * p3) / 6)
+        if self.order >= 4:
+            q = q * x
+            p4 = q.sum(axis=1)
+            out.append((p1**4 - 6 * p1**2 * p2 + 3 * p2**2 + 8 * p1 * p3 - 6 * p4) / 24)
+        if self.order == 5:
+            q = q * x
+            p5 = q.sum(axis=1)
+            out.append(
+                (
+                    p1**5
+                    - 10 * p1**3 * p2
+                    + 20 * p1**2 * p3
+                    - 30 * p1 * p4
+                    - 20 * p2 * p3
+                    + 15 * p1 * p2**2
+                    + 24 * p5
+                )
+                / 120
+            )
+        h = jnp.concatenate(out, axis=-1)
+        if self.batch_norm:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        return nn.Dense(1, kernel_init=KERNEL_INIT)(h)
+
+
+class HolographicInteraction(nn.Module):
+    """Holographic pairwise interactions (hadamard / circular conv / corr)."""
+
+    interaction_type: str = "circular_convolution"
+
+    @nn.compact
+    def __call__(self, feature_emb: jnp.ndarray) -> jnp.ndarray:
+        F = feature_emb.shape[1]
+        p, q = _pair_indices(F)
+        e1 = feature_emb[:, p, :]
+        e2 = feature_emb[:, q, :]
+        if self.interaction_type == "hadamard_product":
+            return e1 * e2
+        f1 = jnp.fft.fft(e1, axis=-1)
+        f2 = jnp.fft.fft(e2, axis=-1)
+        if self.interaction_type == "circular_correlation":
+            f1 = jnp.conj(f1)
+        elif self.interaction_type != "circular_convolution":
+            raise ValueError(f"interaction_type={self.interaction_type!r} not supported")
+        return jnp.real(jnp.fft.ifft(f1 * f2, axis=-1))

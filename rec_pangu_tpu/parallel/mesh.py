@@ -1,0 +1,33 @@
+"""Device mesh construction (SURVEY.md §2.6).
+
+Axes: ``data`` (DP — batch sharded) × ``model`` (TP — embedding tables
+row-sharded).  On a pod slice the same code maps DP over ICI/DCN and TP over
+ICI; in tests it runs on a forced 8-device CPU host.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None:
+        devices = list(jax.devices())
+        if n_data is not None and len(devices) < n_data * n_model:
+            # fall back to the forced host-device CPU mesh (tests / dryrun)
+            devices = list(jax.devices("cpu"))
+    else:
+        devices = list(devices)
+    if n_data is None:
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    grid = np.array(devices[:n]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

@@ -1,0 +1,96 @@
+"""Jitted train/eval steps — the engine.
+
+Replaces the reference's per-batch Python loop with host->device copies,
+``loss.backward()``, per-batch sklearn AUC and device->host syncs
+(rec_pangu/model_pipeline.py:47-77) with ONE compiled XLA program per step:
+forward + backward + Adam update fused, donated state, metrics fetched lazily
+at epoch end.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # None when the model has no BatchNorm
+    opt_state: Any
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def create_train_state(
+    model,
+    sample_batch: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+) -> TrainState:
+    init_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": dropout_rng}, sample_batch, True
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", None)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def make_train_step(has_batch_stats: bool):
+    """Build a jitted (state, batch, rng) -> (state, out) step."""
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mutated = state.apply_fn(
+                    variables, batch, True,
+                    rngs={"dropout": step_rng}, mutable=["batch_stats"],
+                )
+                return out["loss"], (out, mutated.get("batch_stats"))
+            out = state.apply_fn(variables, batch, True, rngs={"dropout": step_rng})
+            return out["loss"], (out, None)
+
+        grads, (out, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs if has_batch_stats else None,
+            opt_state=new_opt_state,
+        )
+        return new_state, out
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(has_batch_stats: bool):
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return state.apply_fn(variables, batch, False)
+
+    return jax.jit(eval_step)
+
+
+def strip_host_keys(batch: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split off host-only entries (e.g. the 'user' id strings) before jit."""
+    device_batch = {k: v for k, v in batch.items() if v.dtype != object}
+    host = {k: v for k, v in batch.items() if v.dtype == object}
+    return device_batch, host

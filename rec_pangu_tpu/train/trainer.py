@@ -1,0 +1,283 @@
+"""Trainer API layer — RankTrainer / SequenceTrainer.
+
+API parity with rec_pangu/trainer.py (RankTrainer:23-236,
+SequenceTrainer:239-409): same method names and fit() signature shape, same
+checkpoint layout (per-epoch ``model_e_{i}``, ``model_best``, final
+``model`` / ``model_all`` with enc_dict), same early-stopping semantics
+(monitor metric must improve; patience in epochs, trainer.py:110-118), same
+metric names.
+
+Engine differences (the TPU-native part): one jitted fused
+forward+backward+Adam step with donated state instead of a Python autograd
+loop; metrics accumulated as device arrays and computed once per epoch on host
+instead of per-batch sklearn calls on an ever-growing list
+(model_pipeline.py:60-63).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..data.dataset import MultiTaskDataset, RankingDataset
+from ..data.loader import DataLoader
+from ..eval.metrics import compute_ranking_metrics
+from ..eval.retrieval import evaluate_recall, get_recall_predict
+from ..utils.logging import HAS_WANDB, logger, wandb
+from .ckpt import load_checkpoint, save_checkpoint
+from .optim import make_optimizer
+from .steps import TrainState, create_train_state, make_eval_step, make_train_step, strip_host_keys
+
+
+class _BaseTrainer:
+    def __init__(self, num_task: int = 1, model_ckpt_dir: str = "./model_ckpt",
+                 wandb_config: Optional[dict] = None):
+        self.num_task = num_task
+        self.model_ckpt_dir = model_ckpt_dir
+        self.wandb_config = wandb_config
+        self.use_wandb = wandb_config is not None and HAS_WANDB
+        self.state: Optional[TrainState] = None
+        self.model = None
+        self._has_bs = False
+        self._train_step = None
+        self._eval_step = None
+
+    # ---------------------------------------------------------------- engine
+    def _build_state(self, model, sample_batch, lr, steps_per_epoch,
+                     lr_scheduler_type="", scheduler_params=None, seed=1029):
+        tx = make_optimizer(lr, steps_per_epoch, lr_scheduler_type, scheduler_params)
+        rng = jax.random.PRNGKey(seed)
+        self.state = create_train_state(model, sample_batch, tx, rng)
+        self.model = model
+        self._has_bs = self.state.batch_stats is not None
+        self._train_step = make_train_step(self._has_bs)
+        self._eval_step = make_eval_step(self._has_bs)
+        self._rng = jax.random.PRNGKey(seed + 1)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
+        logger.info(f"Model initialized: {n_params:,} parameters")
+
+    def _variables(self):
+        v = {"params": self.state.params}
+        if self._has_bs:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    # ------------------------------------------------------------- ckpt api
+    def save_model(self, model, model_ckpt_dir: str):
+        """Weights-only checkpoint (parity: trainer.py:124-135 'model.pth')."""
+        path = os.path.join(model_ckpt_dir, "model.ckpt")
+        save_checkpoint(path, self.state.params, self.state.batch_stats,
+                        step=int(self.state.step))
+        logger.info(f"Model saved to {path}")
+
+    def save_all(self, model, enc_dict: dict, model_ckpt_dir: str):
+        """Weights + enc_dict bundle (parity: trainer.py:137-150)."""
+        path = os.path.join(model_ckpt_dir, "model.ckpt")
+        save_checkpoint(path, self.state.params, self.state.batch_stats,
+                        opt_state=self.state.opt_state, enc_dict=enc_dict,
+                        step=int(self.state.step))
+        logger.info(f"Model+enc_dict saved to {path}")
+
+    def save_train_model(self, model, model_ckpt_dir: str, model_str: str):
+        """Per-epoch checkpoint 'model_{str}.ckpt' (parity: trainer.py:152-164)."""
+        path = os.path.join(model_ckpt_dir, f"model_{model_str}.ckpt")
+        save_checkpoint(path, self.state.params, self.state.batch_stats,
+                        step=int(self.state.step))
+
+    def load_model(self, model, path: str):
+        """Restore params (+batch_stats) from a checkpoint into the trainer."""
+        ckpt = load_checkpoint(path)
+        if self.state is None:
+            raise RuntimeError("call fit() or _build_state() before load_model()")
+        self.state = self.state.replace(params=ckpt["params"],
+                                        batch_stats=ckpt["batch_stats"])
+        return ckpt
+
+
+class RankTrainer(_BaseTrainer):
+    """Driver for CTR ranking and multi-task models (parity: trainer.py:23-236)."""
+
+    def fit(self, model, train_loader: DataLoader, valid_loader: Optional[DataLoader] = None,
+            epoch: int = 10, lr: float = 1e-3, device=None,
+            use_earlystopping: bool = False, max_patience: int = 999,
+            monitor_metric: Optional[str] = None, lr_scheduler_type: str = "",
+            scheduler_params: Optional[dict] = None, seed: int = 1029,
+            log_rounds: int = 100) -> Dict[str, float]:
+        if self.use_wandb:
+            wandb.init(**self.wandb_config)
+        os.makedirs(self.model_ckpt_dir, exist_ok=True)
+
+        sample_batch = next(iter(train_loader))
+        self._build_state(model, sample_batch, lr, len(train_loader),
+                          lr_scheduler_type, scheduler_params, seed)
+
+        logger.info("Model Starting Training")
+        best_epoch, best_metric = -1, -np.inf
+        train_metric: Dict[str, float] = {}
+        for i in range(1, epoch + 1):
+            train_metric = self._train_one_epoch(train_loader, i, log_rounds)
+            logger.info(f"Epoch {i} Train Metric:{train_metric}")
+            if self.use_wandb:
+                wandb.log(train_metric)
+            if valid_loader is not None:
+                valid_metric = self.evaluate_model(self.model, valid_loader)
+                self.save_train_model(self.model, self.model_ckpt_dir, f"e_{i}")
+                if self.use_wandb:
+                    wandb.log(valid_metric)
+                if use_earlystopping:
+                    assert monitor_metric in valid_metric, (
+                        f"{monitor_metric} not in Valid Metric {valid_metric.keys()}")
+                    if valid_metric[monitor_metric] > best_metric:
+                        best_epoch = i
+                        best_metric = valid_metric[monitor_metric]
+                        self.save_train_model(self.model, self.model_ckpt_dir, "best")
+                    if i - best_epoch >= max_patience:
+                        logger.info(f"EarlyStopping at the Epoch {i} Valid Metric:{valid_metric}")
+                        break
+                logger.info(f"Epoch {i} Valid Metric:{valid_metric}")
+        return train_metric
+
+    def _train_one_epoch(self, train_loader, epoch_idx: int, log_rounds: int):
+        preds: List[np.ndarray] = []
+        labels: List[np.ndarray] = []
+        max_iter = len(train_loader)
+        start = time.time()
+        for idx, batch in enumerate(train_loader):
+            batch, _ = strip_host_keys(batch)
+            self.state, out = self._train_step(self.state, batch, self._rng)
+            if self.num_task == 1:
+                preds.append(out["pred"])
+            else:
+                preds.append(jax.numpy.concatenate(
+                    [out[f"task{t + 1}_pred"].reshape(-1, 1) for t in range(self.num_task)], axis=1))
+            labels.append(batch["label"])
+            if idx % log_rounds == 0:
+                loss = float(out["loss"])
+                elapsed = time.time() - start
+                remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
+                logger.info(
+                    f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+        pred_arr = np.concatenate([np.asarray(p).reshape(len(p), -1) for p in preds])
+        label_arr = np.concatenate([np.asarray(l).reshape(len(l), -1) for l in labels])
+        return compute_ranking_metrics(label_arr, pred_arr, prefix="train_",
+                                       num_task=self.num_task)
+
+    def evaluate_model(self, model, test_loader: DataLoader, device=None) -> Dict[str, float]:
+        """Parity: model_pipeline.test_model — names 'roc_auc_score'/'log_loss'
+        for single task, 'test_task{i}_*' for multi-task."""
+        preds, labels = [], []
+        for batch in test_loader:
+            batch, _ = strip_host_keys(batch)
+            out = self._eval_step(self.state, batch)
+            if self.num_task == 1:
+                preds.append(np.asarray(out["pred"]).reshape(-1, 1))
+            else:
+                preds.append(np.concatenate(
+                    [np.asarray(out[f"task{t + 1}_pred"]).reshape(-1, 1)
+                     for t in range(self.num_task)], axis=1))
+            labels.append(np.asarray(batch["label"]).reshape(len(batch["label"]), -1))
+        pred_arr = np.concatenate(preds)
+        label_arr = np.concatenate(labels)
+        prefix = "" if self.num_task == 1 else "test_"
+        return compute_ranking_metrics(label_arr, pred_arr, prefix=prefix,
+                                       num_task=self.num_task)
+
+    def predict_dataloader(self, model, test_loader: DataLoader, device=None) -> np.ndarray:
+        """Parity: trainer.py:182-213."""
+        preds = []
+        for batch in test_loader:
+            batch, _ = strip_host_keys(batch)
+            out = self._eval_step(self.state, batch)
+            if self.num_task == 1:
+                preds.append(np.asarray(out["pred"]).reshape(-1))
+            else:
+                preds.append(np.concatenate(
+                    [np.asarray(out[f"task{t + 1}_pred"]).reshape(-1, 1)
+                     for t in range(self.num_task)], axis=1))
+        return np.concatenate(preds)
+
+    def predict_dataframe(self, model, test_df: pd.DataFrame, enc_dict: dict,
+                          schema: dict, batch_size: int = 1024, device=None) -> np.ndarray:
+        """Parity: trainer.py:215-236 — encode a raw df with the saved enc_dict."""
+        ds_cls = MultiTaskDataset if self.num_task > 1 else RankingDataset
+        ds = ds_cls(schema, test_df, enc_dict=enc_dict)
+        loader = DataLoader(ds, batch_size=batch_size, shuffle=False)
+        return self.predict_dataloader(model, loader)
+
+
+class SequenceTrainer(_BaseTrainer):
+    """Driver for sequence-recall models (parity: trainer.py:239-409)."""
+
+    def __init__(self, model_ckpt_dir: str = "./model_ckpt",
+                 wandb_config: Optional[dict] = None):
+        super().__init__(num_task=1, model_ckpt_dir=model_ckpt_dir,
+                         wandb_config=wandb_config)
+
+    def fit(self, model, train_loader: DataLoader, valid_loader: Optional[DataLoader] = None,
+            epoch: int = 50, lr: float = 1e-3, device=None,
+            use_earlystopping: bool = False, max_patience: int = 999,
+            monitor_metric: Optional[str] = None, log_rounds: int = 100,
+            topk_list: Optional[List[int]] = None, lr_scheduler_type: str = "",
+            scheduler_params: Optional[dict] = None, seed: int = 1029) -> None:
+        topk_list = topk_list or [20, 50, 100]
+        if self.use_wandb:
+            wandb.init(**self.wandb_config)
+        os.makedirs(self.model_ckpt_dir, exist_ok=True)
+
+        sample_batch, _ = strip_host_keys(next(iter(train_loader)))
+        self._build_state(model, sample_batch, lr, len(train_loader),
+                          lr_scheduler_type, scheduler_params, seed)
+
+        logger.info("Model Starting Training")
+        log_rows = []
+        best_epoch, best_metric = -1, -np.inf
+        for i in range(1, epoch + 1):
+            start = time.time()
+            max_iter = len(train_loader)
+            for idx, batch in enumerate(train_loader):
+                batch, _ = strip_host_keys(batch)
+                self.state, out = self._train_step(self.state, batch, self._rng)
+                if idx % log_rounds == 0:
+                    loss = float(out["loss"])
+                    elapsed = time.time() - start
+                    remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
+                    logger.info(
+                        f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+            if valid_loader is not None:
+                valid_metric = self.evaluate_model(self.model, valid_loader,
+                                                   topk_list=topk_list)
+                logger.info(f"Epoch {i} Valid Metric:{valid_metric}")
+                if self.use_wandb:
+                    wandb.log(valid_metric)
+                log_rows.append({"epoch": i, **valid_metric})
+                pd.DataFrame(log_rows).to_csv(
+                    os.path.join(self.model_ckpt_dir, "log.csv"), index=False)
+                self.save_train_model(self.model, self.model_ckpt_dir, f"e_{i}")
+                if use_earlystopping:
+                    assert monitor_metric in valid_metric, (
+                        f"{monitor_metric} not in Valid Metric {valid_metric.keys()}")
+                    if valid_metric[monitor_metric] > best_metric:
+                        best_epoch = i
+                        best_metric = valid_metric[monitor_metric]
+                        self.save_train_model(self.model, self.model_ckpt_dir, "best")
+                    if i - best_epoch >= max_patience:
+                        logger.info(f"EarlyStopping at the Epoch {i} Valid Metric:{valid_metric}")
+                        break
+
+    def evaluate_model(self, model, test_loader: DataLoader, device=None,
+                       topk_list: Optional[List[int]] = None) -> Dict[str, float]:
+        """Parity: model_pipeline.test_sequence_model:281-318 — top-200
+        retrieval then per-k recall/ndcg/hitrate."""
+        topk_list = topk_list or [20, 50, 100]
+        test_gd = test_loader.dataset.get_test_gd()
+        preds = get_recall_predict(self.model, self._variables(), test_loader, topn=200)
+        metric_dict: Dict[str, float] = {}
+        for k in topk_list:
+            res = evaluate_recall(preds, test_gd, k)
+            logger.info(res)
+            metric_dict.update(res)
+        return metric_dict
