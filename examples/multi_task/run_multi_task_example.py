@@ -1,0 +1,34 @@
+"""Multi-task example — mirrors /root/reference/examples/multi_task/run_multi_task_example.py."""
+import sys
+
+sys.path.append("../../")
+import pandas as pd
+
+from rec_pangu_tpu.data import get_dataloader
+from rec_pangu_tpu.models import get_model
+from rec_pangu_tpu.train import RankTrainer
+
+if __name__ == "__main__":
+    df = pd.read_csv(
+        "/root/reference/examples/multi_task/sample_data/multi_task_sample_data.csv"
+    )
+    schema = {
+        "sparse_cols": ["user_id", "item_id", "item_type", "dayofweek", "is_workday",
+                        "city", "county", "town", "village", "lbs_city", "lbs_district",
+                        "hardware_platform", "hardware_ischarging", "os_type",
+                        "network_type", "position"],
+        "dense_cols": ["item_expo_1d", "item_expo_7d", "item_expo_14d", "item_expo_30d",
+                       "item_clk_1d", "item_clk_7d", "item_clk_14d", "item_clk_30d",
+                       "use_duration"],
+        "label_col": ["click", "scroll"],
+        "task_type": "multitask",
+    }
+    train_df, valid_df, test_df = df[:80], df[:90], df[:95]
+    train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+        train_df, valid_df, test_df, schema, batch_size=512
+    )
+    model = get_model("MMOE")(enc_dict=enc_dict, num_task=2)
+    trainer = RankTrainer(num_task=2, model_ckpt_dir="./model_ckpt")
+    trainer.fit(model, train_loader, valid_loader, epoch=20, lr=1e-3)
+    test_metric = trainer.evaluate_model(model, test_loader)
+    print("Test metric:", test_metric)

@@ -1,0 +1,69 @@
+"""AOANet (parity: rec_pangu/models/ranking/aoanet.py:14-115): DNN branch ++
+GeneralizedInteractionNet (outer-product subspace fusion) -> Dense(1)."""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.embedding import FusedEmbedding
+from ...ops.mlp import KERNEL_INIT, MLP
+from ..base import RankModelBase, register_model
+from ..losses import get_loss_fn
+
+
+class GeneralizedInteraction(nn.Module):
+    """One GIN layer (aoanet.py:97-115): B_{i+1}[b,o,:] built from outer
+    products of B_0 fields with B_i subspaces, fused by alpha, W, h."""
+
+    input_subspaces: int
+    output_subspaces: int
+    num_fields: int
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, b0: jnp.ndarray, bi: jnp.ndarray) -> jnp.ndarray:
+        D = self.embedding_dim
+        W = self.param("W", lambda k, s: jnp.tile(jnp.eye(D)[None], (self.output_subspaces, 1, 1)),
+                       (self.output_subspaces, D, D))
+        alpha = self.param("alpha", nn.initializers.ones,
+                           (self.input_subspaces * self.num_fields, self.output_subspaces))
+        h = self.param("h", nn.initializers.ones, (self.output_subspaces, D, 1))
+        # outer[b, n, x, y] over n = (subspace, field) pairs
+        left = jnp.repeat(b0, self.input_subspaces, axis=1)          # [B, in*F, D]
+        right = jnp.tile(bi, (1, 1, self.num_fields)).reshape(
+            bi.shape[0], -1, D)                                       # [B, in*F, D]
+        outer = jnp.einsum("bnh,bnd->bnhd", left, right)
+        fusion = jnp.einsum("bnhd,no->bohd", outer, alpha)            # [B, out, D, D]
+        fusion = W[None] * fusion
+        return jnp.einsum("bohd,odk->boh", fusion, h)                 # [B, out, D]
+
+
+@register_model("AOANet")
+class AOANet(RankModelBase):
+    enc_dict: Any = None
+    embedding_dim: int = 32
+    dnn_hidden_units: Sequence[int] = (64, 64, 64)
+    num_interaction_layers: int = 3
+    num_subspaces: int = 4
+    loss_fun: str = "bce"
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        dnn_input = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)
+        dnn_out = MLP(self.dnn_hidden_units, output_dim=None)(dnn_input, train)
+        bi = emb
+        for i in range(self.num_interaction_layers):
+            bi = GeneralizedInteraction(
+                self.num_sparse if i == 0 else self.num_subspaces,
+                self.num_subspaces, self.num_sparse, self.embedding_dim)(emb, bi)
+        interact_out = bi.reshape(bi.shape[0], -1)
+        logit = nn.Dense(1, kernel_init=KERNEL_INIT)(
+            jnp.concatenate([dnn_out, interact_out], axis=-1))
+        y_pred = nn.sigmoid(logit)
+        out = {"pred": y_pred}
+        if train:
+            out["loss"] = get_loss_fn(self.loss_fun)(y_pred, batch["label"])
+        return out
