@@ -9,7 +9,7 @@ instead of torch NCHW.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -60,8 +60,9 @@ class MaskedConv1d(nn.Module):
                        kernel_init=KERNEL_INIT)(x)
 
 
-class NextItNetResBlock(nn.Module):
-    """'b' residual block: LN -> relu -> causal conv (2 halved-channel convs)."""
+class ResBlockTwoMasked(nn.Module):
+    """NextItNet residual block (conv.py:178-209): causal conv(d) -> LN ->
+    relu -> causal conv(2d) -> LN -> relu -> +x.  Channel-last [B, L, C]."""
 
     channels: int
     kernel_size: int = 3
@@ -69,10 +70,52 @@ class NextItNetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm()(x)
-        h = nn.relu(h)
-        h = MaskedConv1d(self.channels // 2, self.kernel_size, self.dilation)(h)
-        h = nn.LayerNorm()(h)
-        h = nn.relu(h)
-        h = MaskedConv1d(self.channels, self.kernel_size, self.dilation * 2)(h)
-        return x + h
+        y = MaskedConv1d(self.channels, self.kernel_size, self.dilation)(x)
+        y = nn.relu(nn.LayerNorm()(y))
+        y = MaskedConv1d(self.channels, self.kernel_size, 2 * self.dilation)(y)
+        y = nn.relu(nn.LayerNorm()(y))
+        return y + x
+
+
+class ResBlockOneMasked(nn.Module):
+    """NextItNet bottleneck block (conv.py:61-100): 1x1 conv -> LN -> relu ->
+    causal conv(d) -> LN -> relu -> 1x1 conv -> +x."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mid = self.channels // 2
+        y = nn.relu(nn.LayerNorm()(nn.Dense(mid, kernel_init=KERNEL_INIT)(x)))
+        y = MaskedConv1d(mid, self.kernel_size, self.dilation)(y)
+        y = nn.relu(nn.LayerNorm()(y))
+        y = nn.Dense(self.channels, kernel_init=KERNEL_INIT)(y)
+        return y + x
+
+
+class NextItNetLayer(nn.Module):
+    """Dilated causal conv stack (conv.py:11-59): mask padding to zero, run
+    residual blocks, read the state at the last valid position."""
+
+    channels: int
+    dilations: Optional[Sequence[int]] = None
+    one_masked: bool = False
+    kernel_size: int = 3
+    feat_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, emb_seqs: jnp.ndarray, lens: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        dilations = self.dilations or ((1, 2, 4) if self.one_masked else (1, 4))
+        block = ResBlockOneMasked if self.one_masked else ResBlockTwoMasked
+        B, L, C = emb_seqs.shape
+        pad = jnp.arange(L)[None, :] >= lens[:, None]
+        x = jnp.where(pad[..., None], 0.0, emb_seqs)
+        if self.feat_drop > 0:
+            x = nn.Dropout(self.feat_drop, deterministic=not train)(x)
+        for d in dilations:
+            x = block(self.channels, self.kernel_size, d)(x)
+        idx = jnp.clip(lens - 1, 0, L - 1)
+        return jnp.take_along_axis(x, idx[:, None, None].repeat(C, axis=2), axis=1)[:, 0]

@@ -1,0 +1,217 @@
+"""Sequence encoders.
+
+One transformer implementation serves all three of the reference's copies
+(rec_pangu/models/layers/trainformer.py:13-259 for SASRec/GCSAN,
+layers/sequence.py:150-228 for BERT4Rec-style encoders,
+sequence/iocrec.py:350-482) — consolidated per SURVEY.md §5.
+
+* TransformerBlock / TransformerEncoder: post-LN, additive attention mask,
+  configurable FFN activation and dropouts (trainformer semantics).
+* BERT4RecEncoder <- layers/sequence.py:286-312 (learned positions,
+  bidirectional padding mask, last-valid gather).
+* GRU <- torch nn.GRU (unpacked; padded steps ARE processed, as NARM does).
+* GRU4RecEncoder <- layers/sequence.py:231-251 (packed GRU == mask-gated GRU
+  whose carry freezes at padding; final hidden -> Dense out).
+* STAMPLayer <- layers/sequence.py:89-144.
+* CaserEncoder <- layers/sequence.py:254-283.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .activations import get_activation
+
+KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+# --------------------------------------------------------------------------- #
+# transformer
+# --------------------------------------------------------------------------- #
+class TransformerBlock(nn.Module):
+    n_heads: int = 2
+    inner_size: int = 256
+    hidden_dropout: float = 0.5
+    attn_dropout: float = 0.5
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> jnp.ndarray:
+        B, L, H = x.shape
+        dh = H // self.n_heads
+
+        def proj(name):
+            return nn.Dense(H, kernel_init=KERNEL_INIT, name=name)
+
+        q = proj("query")(x).reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+        k = proj("key")(x).reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+        v = proj("value")(x).reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / jnp.sqrt(dh).astype(x.dtype)
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                attn_mask = jnp.where(attn_mask, 0.0, -1e6)
+            scores = scores + attn_mask
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.attn_dropout, deterministic=not train)(probs)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
+        ctx = nn.Dense(H, kernel_init=KERNEL_INIT, name="dense")(ctx)
+        ctx = nn.Dropout(self.hidden_dropout, deterministic=not train)(ctx)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps)(ctx + x)
+
+        h = nn.Dense(self.inner_size, kernel_init=KERNEL_INIT, name="ffn_1")(x)
+        h = get_activation(self.hidden_act)(h)
+        h = nn.Dense(H, kernel_init=KERNEL_INIT, name="ffn_2")(h)
+        h = nn.Dropout(self.hidden_dropout, deterministic=not train)(h)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps)(h + x)
+
+
+class TransformerEncoder(nn.Module):
+    n_layers: int = 2
+    n_heads: int = 2
+    inner_size: int = 256
+    hidden_dropout_prob: float = 0.5
+    attn_dropout_prob: float = 0.5
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, train: bool = True):
+        for _ in range(self.n_layers):
+            x = TransformerBlock(self.n_heads, self.inner_size,
+                                 self.hidden_dropout_prob, self.attn_dropout_prob,
+                                 self.hidden_act, self.layer_norm_eps)(x, attn_mask, train)
+        return x
+
+
+class BERT4RecEncoder(nn.Module):
+    max_his: int
+    num_layers: int = 2
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, seq: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        B, L, H = seq.shape
+        len_range = jnp.arange(L)
+        valid = len_range[None, :] < lengths[:, None]  # [B, L] bool
+        position = len_range[None, :] * valid.astype(jnp.int32)
+        p_emb = nn.Embed(self.max_his + 1, H,
+                         embedding_init=KERNEL_INIT, name="p_embeddings")(position)
+        x = seq + p_emb
+        attn_mask = valid[:, None, None, :]  # bidirectional padding mask
+        x = TransformerEncoder(self.num_layers, self.num_heads, inner_size=H,
+                               hidden_dropout_prob=0.0, attn_dropout_prob=0.0,
+                               hidden_act="relu")(x, attn_mask, train)
+        x = x * valid[:, :, None]
+        idx = jnp.clip(lengths - 1, 0, L - 1)
+        return jnp.take_along_axis(x, idx[:, None, None].repeat(H, axis=2), axis=1)[:, 0]
+
+
+# --------------------------------------------------------------------------- #
+# recurrent
+# --------------------------------------------------------------------------- #
+class GRU(nn.Module):
+    """Multi-layer GRU over [B, L, D] -> (outputs [B, L, H], last_hidden [B, H]).
+
+    ``mask=None`` matches torch nn.GRU on padded input (padding steps are
+    processed); with a [B, L] mask the carry freezes at padded steps, matching
+    packed-sequence semantics.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        seq_lengths = None
+        if mask is not None:
+            seq_lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+        last_hidden = None
+        for layer in range(self.num_layers):
+            cell = nn.GRUCell(features=self.hidden_size, kernel_init=KERNEL_INIT,
+                              name=f"gru_l{layer}")
+            rnn = nn.RNN(cell, return_carry=True, name=f"rnn_l{layer}")
+            # seq_lengths gives packed-sequence semantics: carry freezes past
+            # the last valid step, outputs at padding are zeroed
+            last_hidden, x = rnn(x, seq_lengths=seq_lengths)
+        return x, last_hidden
+
+
+class GRU4RecEncoder(nn.Module):
+    hidden_size: int = 128
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, seq: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        emb_size = seq.shape[-1]
+        L = seq.shape[1]
+        mask = (jnp.arange(L)[None, :] < lengths[:, None]).astype(seq.dtype)
+        _, last = GRU(self.hidden_size, self.num_layers)(seq, mask)
+        return nn.Dense(emb_size, use_bias=False, kernel_init=KERNEL_INIT,
+                        name="out")(last)
+
+
+# --------------------------------------------------------------------------- #
+# STAMP
+# --------------------------------------------------------------------------- #
+class STAMPLayer(nn.Module):
+    embedding_dim: int
+    feat_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, emb_seqs: jnp.ndarray, lens: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        D = self.embedding_dim
+        if self.feat_drop > 0:
+            emb_seqs = nn.Dropout(self.feat_drop, deterministic=not train)(emb_seqs)
+        B, L, _ = emb_seqs.shape
+        pad = jnp.arange(L)[None, :] >= lens[:, None]  # True at padding
+        emb_seqs = jnp.where(pad[..., None], 0.0, emb_seqs)
+        ms = emb_seqs.sum(axis=1) / jnp.maximum(lens, 1)[:, None]
+        idx = jnp.clip(lens - 1, 0, L - 1)
+        xt = jnp.take_along_axis(emb_seqs, idx[:, None, None].repeat(D, axis=2), axis=1)[:, 0]
+        ei = nn.Dense(D, use_bias=False, kernel_init=KERNEL_INIT, name="attn_i")(emb_seqs)
+        et = nn.Dense(D, kernel_init=KERNEL_INIT, name="attn_t")(xt)[:, None, :]
+        es = nn.Dense(D, use_bias=False, kernel_init=KERNEL_INIT, name="attn_s")(ms)[:, None, :]
+        e = nn.Dense(1, use_bias=False, kernel_init=KERNEL_INIT, name="attn_e")(
+            nn.sigmoid(ei + et + es))[..., 0]
+        alpha = jnp.where(pad, 0.0, e)[..., None]
+        ma = jnp.sum(alpha * emb_seqs, axis=1)
+        ha = nn.Dense(D, kernel_init=KERNEL_INIT, name="fc_a")(ma)
+        ht = nn.Dense(D, kernel_init=KERNEL_INIT, name="fc_t")(xt)
+        return ha * ht
+
+
+# --------------------------------------------------------------------------- #
+# Caser
+# --------------------------------------------------------------------------- #
+class CaserEncoder(nn.Module):
+    max_his: int
+    num_horizon: int = 16
+    num_vertical: int = 8
+    l: int = 5
+
+    @nn.compact
+    def __call__(self, seq: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        B, L, D = seq.shape
+        pad_len = self.max_his - L
+        x = jnp.pad(seq, ((0, 0), (0, max(pad_len, 0)), (0, 0)))[..., None]  # NHWC
+        out_v = nn.Conv(self.num_vertical, kernel_size=(self.max_his, 1),
+                        padding="VALID", kernel_init=KERNEL_INIT, name="conv_v")(x)
+        out_v = out_v.reshape(B, -1)
+        out_hs = []
+        for i in range(1, self.l + 1):
+            h = nn.Conv(self.num_horizon, kernel_size=(i, D), padding="VALID",
+                        kernel_init=KERNEL_INIT, name=f"conv_h{i}")(x)
+            h = nn.relu(h[:, :, 0, :])  # [B, max_his-i+1, num_horizon]
+            out_hs.append(jnp.max(h, axis=1))
+        out_h = jnp.concatenate(out_hs, axis=1)
+        return nn.Dense(D, kernel_init=KERNEL_INIT, name="fc")(
+            jnp.concatenate([out_v, out_h], axis=1))

@@ -1,0 +1,85 @@
+"""Sequence zoo: init + train step + learning signal on a small synthetic
+sequence batch (fast), with shape contracts for single/multi-interest."""
+import jax
+import numpy as np
+import pytest
+
+from rec_pangu_tpu.models import get_model
+from rec_pangu_tpu.train.optim import make_optimizer
+from rec_pangu_tpu.train.steps import create_train_state, make_train_step, make_eval_step
+
+CLASSIC = ["YotubeDNN", "GRU4Rec", "NARM", "SASRec", "STAMP", "NextItNet"]
+MULTI_INTEREST = ["ComirecSA", "ComirecDR", "MIND"]
+
+VOCAB = 50  # items 1..49, 0 = padding
+L = 12
+B = 16
+
+
+def make_config(**over):
+    cfg = {
+        "embedding_dim": 16,
+        "max_length": L,
+        "item_col": "item_id",
+        "cate_cols": [],
+        "device": -1,
+        "K": 4,
+    }
+    cfg.update(over)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def seq_batch():
+    rng = np.random.default_rng(0)
+    lens = rng.integers(2, L + 1, B)
+    hist = np.zeros((B, L), dtype=np.int32)
+    mask = np.zeros((B, L), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, VOCAB, n)
+        mask[i, :n] = 1.0
+    return {
+        "hist_item_list": hist,
+        "hist_mask_list": mask,
+        "target_item": rng.integers(1, VOCAB, B).astype(np.int32),
+        "next_item_list": rng.integers(1, VOCAB, (B, 10)).astype(np.int32),
+        "next_mask_list": np.ones((B, 10), dtype=np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def enc_dict():
+    mapping = {str(i): i for i in range(1, VOCAB)}
+    mapping["vocab_size"] = VOCAB
+    return {"item_id": mapping}
+
+
+@pytest.mark.parametrize("name", CLASSIC + MULTI_INTEREST)
+def test_sequence_model_train_step(name, seq_batch, enc_dict):
+    model = get_model(name)(enc_dict=enc_dict, config=make_config())
+    tx = make_optimizer(1e-3, 1)
+    state = create_train_state(model, seq_batch, tx, jax.random.PRNGKey(0))
+    step = make_train_step(state.batch_stats is not None)
+    rng = jax.random.PRNGKey(1)
+
+    state, out = step(state, seq_batch, rng)
+    loss0 = float(out["loss"])
+    assert np.isfinite(loss0)
+    if name in MULTI_INTEREST:
+        assert out["user_emb"].shape == (B, 4, 16)
+    else:
+        assert out["user_emb"].shape == (B, 16)
+
+    for _ in range(15):
+        state, out = step(state, seq_batch, rng)
+    assert float(out["loss"]) < loss0
+
+    # eval path + output_items for retrieval
+    ev = make_eval_step(state.batch_stats is not None)
+    eval_batch = {k: v for k, v in seq_batch.items()
+                  if k in ("hist_item_list", "hist_mask_list")}
+    out_eval = ev(state, eval_batch)
+    assert "loss" not in out_eval
+    items = model.apply({"params": state.params}, method="output_items")
+    assert items.shape == (VOCAB, 16)
+    np.testing.assert_allclose(np.asarray(items[0]), 0.0)  # padding row zeroed
