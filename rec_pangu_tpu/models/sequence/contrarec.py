@@ -1,0 +1,95 @@
+"""ContraRec (parity: rec_pangu/models/sequence/contrarec.py:15-178):
+BERT4Rec/GRU4Rec/Caser encoder + in-model sequence augmentation (mask or
+reorder per sample) + supervised contrastive ContraLoss.
+
+Augmentation is vectorized with jax.random instead of the reference's
+per-sample Python loops (contrarec.py:145-176): mask-op selects ~ratio*L
+positions by Bernoulli(ratio) (the reference picks exactly int(ratio*L) via
+randperm — same distribution in expectation), reorder-op shuffles a random
+contiguous window via keyed argsort.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.sequence_enc import BERT4RecEncoder, CaserEncoder, GRU4RecEncoder
+from ...ops.numerics import safe_l2norm
+from ..base import SequenceModelBase, register_model
+from .contra_losses import contrarec_contra_loss
+
+
+
+def augment_sequences(rng: jax.Array, item_seq: jnp.ndarray, beta_a: float,
+                      beta_b: float, mask_token: int) -> jnp.ndarray:
+    """Per-sample: 50% mask-op, 50% reorder-op (contrarec.py:169-176)."""
+    B, L = item_seq.shape
+    r_choice, r_ratio, r_mask, r_start, r_keys = jax.random.split(rng, 5)
+    ratio = jax.random.beta(r_ratio, beta_a, beta_b, (B, 1))
+
+    # mask-op: replace ~ratio*L random positions with the mask token
+    mask_positions = jax.random.uniform(r_mask, (B, L)) < ratio
+    masked = jnp.where(mask_positions, mask_token, item_seq)
+
+    # reorder-op: permute a random contiguous window of length ratio*L
+    w = (ratio[:, 0] * L).astype(jnp.int32)
+    start = (jax.random.uniform(r_start, (B,)) * (L - w + 1)).astype(jnp.int32)
+    pos = jnp.arange(L)[None, :].repeat(B, axis=0)
+    in_window = (pos >= start[:, None]) & (pos < (start + w)[:, None])
+    noise = jax.random.uniform(r_keys, (B, L), minval=-0.4, maxval=0.4)
+    keys = jnp.where(in_window, pos + noise * w[:, None], pos.astype(jnp.float32))
+    perm = jnp.argsort(keys, axis=1)
+    reordered = jnp.take_along_axis(item_seq, perm, axis=1)
+
+    choose_mask = jax.random.uniform(r_choice, (B, 1)) > 0.5
+    return jnp.where(choose_mask, masked, reordered)
+
+
+@register_model("ContraRec")
+class ContraRec(SequenceModelBase):
+    def setup(self):
+        self.setup_base()
+        cfg = self.config
+        self.gamma = float(cfg.get("gamma", 1))
+        self.beta_a = float(cfg.get("beta_a", 3))
+        self.beta_b = float(cfg.get("beta_b", 3))
+        self.ccc_temp = float(cfg.get("ccc_temp", 0.2))
+        self.encoder_name = cfg.get("encoder_name", "BERT4Rec")
+        if self.encoder_name == "GRU4Rec":
+            self.encoder = GRU4RecEncoder(hidden_size=128)
+        elif self.encoder_name == "Caser":
+            self.encoder = CaserEncoder(self.max_length, num_horizon=16,
+                                        num_vertical=8, l=5)
+        elif self.encoder_name == "BERT4Rec":
+            self.encoder = BERT4RecEncoder(self.max_length, num_layers=2, num_heads=2)
+        else:
+            raise ValueError("Invalid sequence encoder.")
+        item_col = self.config.get("item_col", "item_id")
+        self.mask_token = int(self.enc_dict[item_col]["vocab_size"]) - 1
+
+    def _encode(self, seq_emb, lengths, train):
+        if self.encoder_name == "BERT4Rec":
+            return self.encoder(seq_emb, lengths, train)
+        return self.encoder(seq_emb, lengths)
+
+    def __call__(self, batch, train: bool = True):
+        item_seq = batch["hist_item_list"]
+        lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
+        seq_emb = self.item_emb(item_seq)
+        user_emb = self._encode(seq_emb, lengths, train)
+        out = {"user_emb": user_emb}
+        if train:
+            item = batch["target_item"]
+            rng = self.make_rng("dropout")
+            r1, r2 = jax.random.split(rng)
+            aug1 = augment_sequences(r1, item_seq, self.beta_a, self.beta_b,
+                                     self.mask_token)
+            aug2 = augment_sequences(r2, item_seq, self.beta_a, self.beta_b,
+                                     self.mask_token)
+            emb1 = self._encode(self.item_emb(aug1), lengths, train)
+            emb2 = self._encode(self.item_emb(aug2), lengths, train)
+            features = safe_l2norm(jnp.stack([emb1, emb2], axis=1))
+            out["loss"] = self.calculate_loss(user_emb, item) + \
+                self.gamma * contrarec_contra_loss(features, item, self.ccc_temp)
+        return out

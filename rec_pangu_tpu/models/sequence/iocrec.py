@@ -1,0 +1,173 @@
+"""IOCRec (parity: rec_pangu/models/sequence/iocrec.py:15-482): local causal
+transformer + global Q_s attention encoder + intention disentanglement
+[B, K, L, D] + InfoNCE over two augmented views.
+
+The reference's 4th in-repo transformer (iocrec.py:350-482) is served by the
+shared ops.TransformerEncoder with a boolean causal+padding mask.
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.sequence_enc import KERNEL_INIT, TransformerEncoder
+from ..base import SequenceModelBase, register_model
+from .contrarec import augment_sequences
+
+RANDN_INIT = nn.initializers.normal(stddev=1.0)
+
+
+def info_nce_loss(v1: jnp.ndarray, v2: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    """Pair-wise NCE over flattened views (iocrec.py InfoNCELoss, dot sim)."""
+    B = v1.shape[0]
+    v1 = v1.reshape(B, -1)
+    v2 = v2.reshape(B, -1)
+    sim11 = v1 @ v1.T
+    sim22 = v2 @ v2.T
+    sim12 = v1 @ v2.T
+    inf_diag = jnp.eye(B) * -1e9
+    sim11 = sim11 + inf_diag
+    sim22 = sim22 + inf_diag
+    logits1 = jnp.concatenate([sim12, sim11], axis=-1)
+    logits2 = jnp.concatenate([sim22, sim12.T], axis=-1)
+    logits = jnp.concatenate([logits1, logits2], axis=0) / temperature
+    labels = jnp.arange(2 * B)
+    logp = nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+class GlobalSeqEncoder(nn.Module):
+    max_len: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, item_emb: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        D = item_emb.shape[-1]
+        Q_s = self.param("Q_s", RANDN_INIT, (self.max_len, D))
+        key = nn.Dense(D, kernel_init=KERNEL_INIT, name="K_linear")(item_emb)
+        value = nn.Dense(D, kernel_init=KERNEL_INIT, name="V_linear")(item_emb)
+        attn = nn.softmax(jnp.einsum("ld,bmd->blm", Q_s, key), axis=-1)
+        out = jnp.einsum("blm,bmd->bld", attn, value)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class DisentangleEncoder(nn.Module):
+    k_intention: int
+    max_len: int
+
+    @nn.compact
+    def __call__(self, local_emb, global_emb, seq_len):
+        D = local_emb.shape[-1]
+        intentions = self.param("intentions", RANDN_INIT, (self.k_intention, D))
+        pos_fai = self.param("pos_fai", RANDN_INIT, (self.max_len, D))
+        rou = self.param("rou", RANDN_INIT, (D,))
+        W = nn.Dense(D, kernel_init=KERNEL_INIT, name="W")
+        ln1 = nn.LayerNorm(name="layer_norm_1")
+        ln2 = nn.LayerNorm(name="layer_norm_2")
+        ln3 = nn.LayerNorm(name="layer_norm_3")
+        ln4 = nn.LayerNorm(name="layer_norm_4")
+        ln5 = nn.LayerNorm(name="layer_norm_5")
+
+        def disentangle(item_emb):
+            B, L, _ = item_emb.shape
+            # item -> intention score (iocrec.py item2IntentionScore)
+            logits = jnp.einsum("bld,kd->blk", ln1(item_emb), ln2(intentions))
+            i2i_score = nn.softmax(logits / math.sqrt(D), axis=-1)
+
+            # item -> attention weight (item2AttnWeight)
+            idx = jnp.clip(seq_len - 1, 0, L - 1)
+            q_row = jnp.take_along_axis(item_emb, idx[:, None, None].repeat(D, axis=2),
+                                        axis=1)[:, 0]
+            q_row = q_row + jnp.take(pos_fai, idx, axis=0) + rou
+            item_query = ln3(q_row)[:, None, :]
+            key_hat = ln4(item_emb + pos_fai[None, :L])
+            item_key = key_hat + nn.relu(W(key_hat))
+            attn_logits = jnp.einsum("bld,bmd->blm", item_query,
+                                     item_key)[:, 0] / math.sqrt(D)
+            attn = nn.softmax(attn_logits, axis=-1)  # [B, L]
+
+            score_fuse = (i2i_score * attn[..., None]).transpose(0, 2, 1)[..., None]
+            return ln5(score_fuse * item_emb[:, None])  # [B, K, L, D]
+
+        return disentangle(local_emb) + disentangle(global_emb)
+
+
+@register_model("IOCRec")
+class IOCRec(SequenceModelBase):
+    def setup(self):
+        self.setup_base()
+        cfg = self.config
+        D = self.embedding_dim
+        self.tao = float(cfg.get("tao", 2))
+        self.all_hidden = bool(cfg.get("all_hidden", True))
+        self.lamda = float(cfg.get("lamda", 0.1))
+        self.k_intention = int(cfg.get("K", 4))
+        eps = float(cfg.get("layer_norm_eps", 1e-12))
+        self.hidden_dropout = float(cfg.get("hidden_dropout", 0.5))
+        self.position_embedding = self.param("position_embedding", KERNEL_INIT,
+                                             (self.max_length, D))
+        self.input_layer_norm = nn.LayerNorm(epsilon=eps)
+        self.input_dropout = nn.Dropout(self.hidden_dropout)
+        self.local_encoder = TransformerEncoder(
+            n_layers=int(cfg.get("num_blocks", 3)),
+            n_heads=int(cfg.get("num_heads", 2)),
+            inner_size=int(cfg.get("ffn_hidden", 128)),
+            hidden_dropout_prob=self.hidden_dropout,
+            attn_dropout_prob=float(cfg.get("attn_dropout", 0.5)),
+            hidden_act="relu",
+            layer_norm_eps=eps,
+        )
+        self.global_seq_encoder = GlobalSeqEncoder(self.max_length, self.hidden_dropout)
+        self.disentangle_encoder = DisentangleEncoder(self.k_intention, self.max_length)
+        item_col = self.config.get("item_col", "item_id")
+        self.mask_token = int(self.enc_dict[item_col]["vocab_size"]) - 1
+
+    def _causal_mask(self, item_seq):
+        keep = (item_seq != 0)[:, None, None, :]  # [B,1,1,L]
+        L = item_seq.shape[1]
+        keep = jnp.broadcast_to(keep, (item_seq.shape[0], 1, L, L))
+        return jnp.tril(keep)
+
+    def _local_encoding(self, item_seq, train):
+        L = item_seq.shape[1]
+        seq_emb = self.item_emb(item_seq) + self.position_embedding[None, :L]
+        seq_emb = self.input_layer_norm(seq_emb)
+        seq_emb = self.input_dropout(seq_emb, deterministic=not train)
+        return self.local_encoder(seq_emb, self._causal_mask(item_seq), train)
+
+    def _intention_emb(self, item_seq, seq_len, train):
+        local_emb = self._local_encoding(item_seq, train)
+        global_emb = self.global_seq_encoder(self.item_emb(item_seq), train)
+        return self.disentangle_encoder(local_emb, global_emb, seq_len)  # [B,K,L,D]
+
+    def __call__(self, batch, train: bool = True):
+        item_seq = batch["hist_item_list"]
+        seq_len = jnp.sum(batch["hist_mask_list"], axis=-1).astype(jnp.int32)
+        B, L = item_seq.shape
+        D = self.embedding_dim
+        intention = self._intention_emb(item_seq, seq_len, train)  # [B,K,L,D]
+        idx = jnp.clip(seq_len - 1, 0, L - 1)
+        user_emb = jnp.take_along_axis(
+            intention, idx[:, None, None, None].repeat(self.k_intention, 1)
+            .repeat(D, 3), axis=2)[:, :, 0]  # [B, K, D]
+        out = {"user_emb": user_emb}
+        if train:
+            item = batch["target_item"]
+            candidates = self.output_items()
+            logits = jnp.einsum("bkd,nd->bkn", user_emb, candidates)
+            max_logits = jnp.max(logits, axis=1)
+            logp = nn.log_softmax(max_logits, axis=-1)
+            rec_loss = -jnp.mean(jnp.take_along_axis(logp, item[:, None], axis=1))
+
+            rng = self.make_rng("dropout")
+            r1, r2 = jax.random.split(rng)
+            aug1 = augment_sequences(r1, item_seq, 3.0, 3.0, self.mask_token)
+            aug2 = augment_sequences(r2, item_seq, 3.0, 3.0, self.mask_token)
+            d1 = self._intention_emb(aug1, seq_len, train).reshape(B * self.k_intention, -1)
+            d2 = self._intention_emb(aug2, seq_len, train).reshape(B * self.k_intention, -1)
+            cl_loss = info_nce_loss(d1, d2, self.tao)
+            out["loss"] = rec_loss + self.lamda * cl_loss
+        return out

@@ -8,8 +8,11 @@ from rec_pangu_tpu.models import get_model
 from rec_pangu_tpu.train.optim import make_optimizer
 from rec_pangu_tpu.train.steps import create_train_state, make_train_step, make_eval_step
 
-CLASSIC = ["YotubeDNN", "GRU4Rec", "NARM", "SASRec", "STAMP", "NextItNet"]
+CLASSIC = ["YotubeDNN", "GRU4Rec", "NARM", "SASRec", "STAMP", "NextItNet",
+           "SINE", "CLRec", "ContraRec", "SRGNN", "GCSAN", "NISER"]
 MULTI_INTEREST = ["ComirecSA", "ComirecDR", "MIND"]
+# models whose train output has no (or differently-shaped) user_emb
+SPECIAL = ["Re4", "CMI", "IOCRec"]
 
 VOCAB = 50  # items 1..49, 0 = padding
 L = 12
@@ -83,3 +86,27 @@ def test_sequence_model_train_step(name, seq_batch, enc_dict):
     items = model.apply({"params": state.params}, method="output_items")
     assert items.shape == (VOCAB, 16)
     np.testing.assert_allclose(np.asarray(items[0]), 0.0)  # padding row zeroed
+
+
+@pytest.mark.parametrize("name", SPECIAL)
+def test_special_sequence_models(name, seq_batch, enc_dict):
+    model = get_model(name)(enc_dict=enc_dict, config=make_config())
+    tx = make_optimizer(1e-3, 1)
+    state = create_train_state(model, seq_batch, tx, jax.random.PRNGKey(0))
+    step = make_train_step(state.batch_stats is not None)
+    rng = jax.random.PRNGKey(1)
+    state, out = step(state, seq_batch, rng)
+    loss0 = float(out["loss"])
+    assert np.isfinite(loss0)
+    for _ in range(10):
+        state, out = step(state, seq_batch, rng)
+    assert float(out["loss"]) < loss0
+
+    # eval path returns user_emb for retrieval
+    ev = make_eval_step(state.batch_stats is not None)
+    eval_batch = {k: v for k, v in seq_batch.items()
+                  if k in ("hist_item_list", "hist_mask_list")}
+    out_eval = ev(state, eval_batch)
+    ue = out_eval["user_emb"]
+    assert ue.shape[0] == B and ue.shape[-1] == 16
+    assert np.all(np.isfinite(np.asarray(ue)))
