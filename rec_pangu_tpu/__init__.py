@@ -9,6 +9,10 @@ __version__ = "0.1.0"
 
 from .data import get_dataloader
 from .models import get_model
-from .train import RankTrainer, SequenceTrainer
+from .train import GraphTrainer, RankTrainer, SequenceTrainer
+from .utils.check_version import check_version
 
-__all__ = ["get_dataloader", "get_model", "RankTrainer", "SequenceTrainer", "__version__"]
+check_version(__version__)
+
+__all__ = ["get_dataloader", "get_model", "GraphTrainer", "RankTrainer",
+           "SequenceTrainer", "__version__"]

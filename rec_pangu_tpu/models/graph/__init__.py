@@ -1,0 +1,3 @@
+from .ngcf import NGCF
+
+__all__ = ["NGCF"]

@@ -30,10 +30,11 @@ def create_train_state(
     sample_batch: Dict[str, Any],
     tx: optax.GradientTransformation,
     rng: jax.Array,
+    train: bool = True,
 ) -> TrainState:
     init_rng, dropout_rng = jax.random.split(rng)
     variables = model.init(
-        {"params": init_rng, "dropout": dropout_rng}, sample_batch, True
+        {"params": init_rng, "dropout": dropout_rng}, sample_batch, train
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", None)

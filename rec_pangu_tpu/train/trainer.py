@@ -45,13 +45,41 @@ class _BaseTrainer:
         self._has_bs = False
         self._train_step = None
         self._eval_step = None
+        self._pending_pretrained: List = []
+
+    def set_pretrained_weights(self, model, col_name: str, pretrained_dict: dict,
+                               trainable: bool = True):
+        """Parity: BaseModel.set_pretrained_weights (base_model.py:61-90).
+        Queued and applied when fit() initializes the parameters."""
+        self._pending_pretrained.append((col_name, pretrained_dict, trainable))
+        logger.info(f"Queued pretrained embedding for column:{col_name} "
+                    f"With Trainable={trainable}")
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
                      lr_scheduler_type="", scheduler_params=None, seed=1029):
         tx = make_optimizer(lr, steps_per_epoch, lr_scheduler_type, scheduler_params)
         rng = jax.random.PRNGKey(seed)
-        self.state = create_train_state(model, sample_batch, tx, rng)
+        # init in eval mode when the sample batch has no labels (inference-only)
+        train_init = "label" in sample_batch or "target_item" in sample_batch \
+            or "pos_item_id" in sample_batch
+        self.state = create_train_state(model, sample_batch, tx, rng, train=train_init)
+        if self._pending_pretrained:
+            from ..models.pretrained import freeze_rows_transform, inject_pretrained
+            import optax
+
+            params = self.state.params
+            frozen = []
+            for col_name, pre_dict, trainable in self._pending_pretrained:
+                params, touched = inject_pretrained(
+                    params, model.enc_dict, col_name, pre_dict, model.embedding_dim)
+                if not trainable:
+                    frozen.extend(touched)
+                logger.info(f"Set pretrained embedding weights for column:{col_name}")
+            if frozen:
+                tx = optax.chain(tx, freeze_rows_transform(frozen))
+            self.state = self.state.replace(params=params, opt_state=tx.init(params),
+                                            tx=tx)
         self.model = model
         self._has_bs = self.state.batch_stats is not None
         self._train_step = make_train_step(self._has_bs)
@@ -281,3 +309,47 @@ class SequenceTrainer(_BaseTrainer):
             logger.info(res)
             metric_dict.update(res)
         return metric_dict
+
+
+class GraphTrainer(_BaseTrainer):
+    """Driver for graph-CF models (parity: trainer.py:412-434 +
+    model_pipeline.py:321-365): BPR sampling per step, full-corpus top-k eval
+    with train items filtered out."""
+
+    def __init__(self, model_ckpt_dir: str = "./model_ckpt"):
+        super().__init__(num_task=1, model_ckpt_dir=model_ckpt_dir)
+
+    def fit(self, model, train_dataset, epoch: int = 10, lr: float = 1e-3,
+            device=None, batch_size: int = 1024, seed: int = 1029) -> None:
+        os.makedirs(self.model_ckpt_dir, exist_ok=True)
+        sample = train_dataset.sample(batch_size)
+        steps_per_epoch = max(1, len(train_dataset) // batch_size)
+        self._build_state(model, sample, lr, steps_per_epoch, seed=seed)
+        for i in range(1, epoch + 1):
+            epoch_loss = 0.0
+            for _ in range(steps_per_epoch):
+                batch = train_dataset.sample(batch_size)
+                self.state, out = self._train_step(self.state, batch, self._rng)
+                epoch_loss += float(out["loss"])
+            logger.info(f"Epoch {i} Loss:{round(epoch_loss, 4)}")
+
+    def evaluate_model(self, model, train_dataset, test_dataset,
+                       hidden_size: int = None, topN: int = 50) -> Dict[str, float]:
+        """Parity: model_pipeline.test_graph_model:344-365 — raw inner-product
+        top-1000, filter items seen in training, recall@topN."""
+        out = self._eval_step(self.state, {})
+        user_embs = np.asarray(out["user_emb"])
+        item_embs = np.asarray(out["item_emb"])
+        train_gd = train_dataset.test_gd
+        test_gd = test_dataset.test_gd
+        users = list(test_gd.keys())
+        k = min(1000, item_embs.shape[0])
+        preds = {}
+        for start in range(0, len(users), 1000):
+            chunk = users[start : start + 1000]
+            scores = user_embs[np.asarray(chunk)] @ item_embs.T
+            top = np.argsort(-scores, axis=1)[:, :k]
+            for i, u in enumerate(chunk):
+                seen = set(train_gd.get(u, []))
+                preds[u] = [int(x) for x in top[i] if int(x) not in seen]
+        return evaluate_recall(preds, test_gd, topN)

@@ -1,4 +1,12 @@
-from .seed import seed_everything
+from .check_version import check_version
+from .device import get_device_usage, set_device
 from .json_utils import beautify_json
+from .seed import seed_everything
 
-__all__ = ["seed_everything", "beautify_json"]
+__all__ = [
+    "check_version",
+    "get_device_usage",
+    "set_device",
+    "beautify_json",
+    "seed_everything",
+]
