@@ -55,9 +55,19 @@ class _BaseTrainer:
         logger.info(f"Queued pretrained embedding for column:{col_name} "
                     f"With Trainable={trainable}")
 
+    def _put(self, batch):
+        """Shard a host batch over the data axis when a mesh is active."""
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return batch
+
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
-                     lr_scheduler_type="", scheduler_params=None, seed=1029):
+                     lr_scheduler_type="", scheduler_params=None, seed=1029,
+                     mesh=None):
+        self.mesh = mesh
         tx = make_optimizer(lr, steps_per_epoch, lr_scheduler_type, scheduler_params)
         rng = jax.random.PRNGKey(seed)
         # init in eval mode when the sample batch has no labels (inference-only)
@@ -80,6 +90,10 @@ class _BaseTrainer:
                 tx = optax.chain(tx, freeze_rows_transform(frozen))
             self.state = self.state.replace(params=params, opt_state=tx.init(params),
                                             tx=tx)
+        if mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, mesh)
         self.model = model
         self._has_bs = self.state.batch_stats is not None
         self._train_step = make_train_step(self._has_bs)
@@ -134,14 +148,14 @@ class RankTrainer(_BaseTrainer):
             use_earlystopping: bool = False, max_patience: int = 999,
             monitor_metric: Optional[str] = None, lr_scheduler_type: str = "",
             scheduler_params: Optional[dict] = None, seed: int = 1029,
-            log_rounds: int = 100) -> Dict[str, float]:
+            log_rounds: int = 100, mesh=None) -> Dict[str, float]:
         if self.use_wandb:
             wandb.init(**self.wandb_config)
         os.makedirs(self.model_ckpt_dir, exist_ok=True)
 
         sample_batch = next(iter(train_loader))
         self._build_state(model, sample_batch, lr, len(train_loader),
-                          lr_scheduler_type, scheduler_params, seed)
+                          lr_scheduler_type, scheduler_params, seed, mesh=mesh)
 
         logger.info("Model Starting Training")
         best_epoch, best_metric = -1, -np.inf
@@ -176,6 +190,7 @@ class RankTrainer(_BaseTrainer):
         start = time.time()
         for idx, batch in enumerate(train_loader):
             batch, _ = strip_host_keys(batch)
+            batch = self._put(batch)
             self.state, out = self._train_step(self.state, batch, self._rng)
             if self.num_task == 1:
                 preds.append(out["pred"])
@@ -200,6 +215,7 @@ class RankTrainer(_BaseTrainer):
         preds, labels = [], []
         for batch in test_loader:
             batch, _ = strip_host_keys(batch)
+            batch = self._put(batch)
             out = self._eval_step(self.state, batch)
             if self.num_task == 1:
                 preds.append(np.asarray(out["pred"]).reshape(-1, 1))
@@ -250,7 +266,8 @@ class SequenceTrainer(_BaseTrainer):
             use_earlystopping: bool = False, max_patience: int = 999,
             monitor_metric: Optional[str] = None, log_rounds: int = 100,
             topk_list: Optional[List[int]] = None, lr_scheduler_type: str = "",
-            scheduler_params: Optional[dict] = None, seed: int = 1029) -> None:
+            scheduler_params: Optional[dict] = None, seed: int = 1029,
+            mesh=None) -> None:
         topk_list = topk_list or [20, 50, 100]
         if self.use_wandb:
             wandb.init(**self.wandb_config)
@@ -258,7 +275,7 @@ class SequenceTrainer(_BaseTrainer):
 
         sample_batch, _ = strip_host_keys(next(iter(train_loader)))
         self._build_state(model, sample_batch, lr, len(train_loader),
-                          lr_scheduler_type, scheduler_params, seed)
+                          lr_scheduler_type, scheduler_params, seed, mesh=mesh)
 
         logger.info("Model Starting Training")
         log_rows = []
@@ -268,6 +285,7 @@ class SequenceTrainer(_BaseTrainer):
             max_iter = len(train_loader)
             for idx, batch in enumerate(train_loader):
                 batch, _ = strip_host_keys(batch)
+                batch = self._put(batch)
                 self.state, out = self._train_step(self.state, batch, self._rng)
                 if idx % log_rounds == 0:
                     loss = float(out["loss"])
