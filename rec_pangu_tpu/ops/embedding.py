@@ -38,8 +38,10 @@ class FusedEmbedding(nn.Module):
 
     def __call__(self, sparse_ids: jnp.ndarray) -> jnp.ndarray:
         """[B, F] int ids (per-feature local) -> [B, F, D]."""
+        from .kernels.embedding_grad import fused_gather
+
         fused_ids = sparse_ids + self._offsets[None, :]
-        return jnp.take(self.table, fused_ids, axis=0)
+        return fused_gather(self.table, fused_ids)
 
     def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
         """Lookup one feature's sub-table with local ids of any shape."""
@@ -64,7 +66,9 @@ class ItemEmbedding(nn.Module):
         return self.table * (row_ids != 0)
 
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        emb = jnp.take(self.table, ids, axis=0)
+        from .kernels.embedding_grad import fused_gather
+
+        emb = fused_gather(self.table, ids)
         return emb * (ids != 0)[..., None]
 
 
