@@ -111,8 +111,10 @@ class FeatureSpec:
 
 
 def encode_sparse_col(values: pd.Series, mapping: dict) -> np.ndarray:
+    # vectorized dict-map (C path) with OOV fill, instead of a Python lambda
     oov = mapping[OOV_SENTINEL]
-    return values.astype(str).map(lambda v: mapping.get(v, oov)).to_numpy(dtype=np.int32)
+    out = values.astype(str).map(mapping)
+    return out.fillna(oov).to_numpy(dtype=np.int32)
 
 
 def encode_dense_col(values: pd.Series, stats: dict) -> np.ndarray:

@@ -46,8 +46,8 @@ class SequenceDataset:
 
         self.enc_dict = enc_dict if enc_dict is not None else fit_sequence_enc_dict(df, config)
         for f in [self.item_col] + self.cate_cols:
-            mapping = self.enc_dict[f]
-            df[f] = df[f].astype(str).map(lambda v: mapping.get(v, 0)).astype(np.int64)
+            mapping = {k: v for k, v in self.enc_dict[f].items() if k != OOV_SENTINEL}
+            df[f] = df[f].astype(str).map(mapping).fillna(0).astype(np.int64)
 
         grouped = df.groupby(self.user_col, sort=False)
         self.user2item: Dict = grouped[self.item_col].apply(list).to_dict()
@@ -58,6 +58,16 @@ class SequenceDataset:
         ]
         self._cate_lists = {
             c: [np.asarray(self.user2cate[c][u], dtype=np.int64) for u in self.user_list]
+            for c in self.cate_cols
+        }
+        # flat layout for the native window builder
+        lens = np.asarray([len(x) for x in self._item_lists], dtype=np.int64)
+        self._offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        self._flat_items = (np.concatenate(self._item_lists).astype(np.int64)
+                            if len(self._item_lists) else np.zeros(0, np.int64))
+        self._flat_cates = {
+            c: (np.concatenate(self._cate_lists[c]).astype(np.int64)
+                if self._cate_lists[c] else np.zeros(0, np.int64))
             for c in self.cate_cols
         }
 
@@ -94,6 +104,52 @@ class SequenceDataset:
         return out
 
     def _build(self, ks: np.ndarray) -> None:
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            self._build_native(lib, ks)
+        else:
+            self._build_python(ks)
+        if self.phase != "train":
+            self.arrays["user"] = np.asarray(
+                [str(u) for u in self.user_list], dtype=object)
+
+    def _build_native(self, lib, ks: np.ndarray) -> None:
+        import ctypes
+
+        U, L, S = len(self._item_lists), self.max_length, self.next_seq_length
+        hist = np.zeros((U, L), dtype=np.int32)
+        mask = np.zeros((U, L), dtype=np.float32)
+        target = np.zeros((U,), dtype=np.int32)
+        nxt = np.zeros((U, S), dtype=np.int32)
+        nmask = np.zeros((U, S), dtype=np.float32)
+        ks = np.ascontiguousarray(ks, dtype=np.int64)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        i64, i32, f32 = ctypes.c_int64, ctypes.c_int32, ctypes.c_float
+        lib.build_windows(
+            ptr(self._flat_items, i64), ptr(self._offsets, i64), ptr(ks, i64),
+            U, L, S, ptr(hist, i32), ptr(mask, f32), ptr(target, i32),
+            ptr(nxt, i32), ptr(nmask, f32), 1 if self.phase == "train" else 0,
+        )
+        arrays: Dict[str, np.ndarray] = {
+            "hist_item_list": hist, "hist_mask_list": mask}
+        for c in self.cate_cols:
+            ch = np.zeros((U, L), dtype=np.int32)
+            lib.build_cate_windows(ptr(self._flat_cates[c], i64),
+                                   ptr(self._offsets, i64), ptr(ks, i64),
+                                   U, L, ptr(ch, i32))
+            arrays[f"hist_{c}_list"] = ch
+        if self.phase == "train":
+            arrays["target_item"] = target
+            arrays["next_item_list"] = nxt
+            arrays["next_mask_list"] = nmask
+        self.arrays = arrays
+
+    def _build_python(self, ks: np.ndarray) -> None:
         U, L = len(self._item_lists), self.max_length
         hist = np.zeros((U, L), dtype=np.int32)
         mask = np.zeros((U, L), dtype=np.float32)
@@ -124,8 +180,6 @@ class SequenceDataset:
             arrays["target_item"] = target
             arrays["next_item_list"] = nxt
             arrays["next_mask_list"] = nmask
-        else:
-            arrays["user"] = np.asarray([str(u) for u in self.user_list], dtype=object)
         self.arrays = arrays
 
     def __len__(self) -> int:

@@ -130,6 +130,19 @@ class _BaseTrainer:
         save_checkpoint(path, self.state.params, self.state.batch_stats,
                         step=int(self.state.step))
 
+    def resume(self, path: str):
+        """True resume (beyond the reference, which only saves): restore
+        params, batch_stats, optimizer state and step counter."""
+        ckpt = load_checkpoint(path)
+        replacements = dict(params=ckpt["params"], batch_stats=ckpt["batch_stats"])
+        if ckpt.get("opt_state") is not None:
+            replacements["opt_state"] = ckpt["opt_state"]
+        import jax.numpy as jnp
+
+        replacements["step"] = jnp.asarray(ckpt.get("step", 0), jnp.int32)
+        self.state = self.state.replace(**replacements)
+        logger.info(f"Resumed from {path} at step {int(self.state.step)}")
+
     def load_model(self, model, path: str):
         """Restore params (+batch_stats) from a checkpoint into the trainer."""
         ckpt = load_checkpoint(path)
@@ -148,7 +161,8 @@ class RankTrainer(_BaseTrainer):
             use_earlystopping: bool = False, max_patience: int = 999,
             monitor_metric: Optional[str] = None, lr_scheduler_type: str = "",
             scheduler_params: Optional[dict] = None, seed: int = 1029,
-            log_rounds: int = 100, mesh=None) -> Dict[str, float]:
+            log_rounds: int = 100, mesh=None, resume_from: Optional[str] = None,
+            profile_dir: Optional[str] = None) -> Dict[str, float]:
         if self.use_wandb:
             wandb.init(**self.wandb_config)
         os.makedirs(self.model_ckpt_dir, exist_ok=True)
@@ -156,6 +170,9 @@ class RankTrainer(_BaseTrainer):
         sample_batch = next(iter(train_loader))
         self._build_state(model, sample_batch, lr, len(train_loader),
                           lr_scheduler_type, scheduler_params, seed, mesh=mesh)
+        if resume_from:
+            self.resume(resume_from)
+        self._profile_dir = profile_dir
 
         logger.info("Model Starting Training")
         best_epoch, best_metric = -1, -np.inf
@@ -184,6 +201,9 @@ class RankTrainer(_BaseTrainer):
         return train_metric
 
     def _train_one_epoch(self, train_loader, epoch_idx: int, log_rounds: int):
+        profiling = getattr(self, "_profile_dir", None) and epoch_idx == 1
+        if profiling:
+            jax.profiler.start_trace(self._profile_dir)
         preds: List[np.ndarray] = []
         labels: List[np.ndarray] = []
         max_iter = len(train_loader)
@@ -204,8 +224,16 @@ class RankTrainer(_BaseTrainer):
                 remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
                 logger.info(
                     f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+        if profiling:
+            jax.profiler.stop_trace()
+            logger.info(f"Profiler trace written to {self._profile_dir}")
         pred_arr = np.concatenate([np.asarray(p).reshape(len(p), -1) for p in preds])
         label_arr = np.concatenate([np.asarray(l).reshape(len(l), -1) for l in labels])
+        elapsed = time.time() - start
+        n_devices = len(self.mesh.devices.flat) if getattr(self, "mesh", None) is not None else 1
+        eps = len(pred_arr) / max(elapsed, 1e-9)
+        logger.info(f"Epoch throughput: {eps:,.0f} examples/s "
+                    f"({eps / n_devices:,.0f} examples/s/chip)")
         return compute_ranking_metrics(label_arr, pred_arr, prefix="train_",
                                        num_task=self.num_task)
 
