@@ -24,16 +24,27 @@ class DataLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 1029,
+        shard_rank: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_rank``/``num_shards`` give per-host input sharding
+        (SURVEY.md §2.6): each host iterates its strided slice of the rows
+        with an identical shuffle order (same seed across hosts)."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.shard_rank = int(shard_rank)
+        self.num_shards = int(num_shards)
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_size(self) -> int:
         n = len(self.dataset)
+        return len(range(self.shard_rank, n, self.num_shards))
+
+    def __len__(self) -> int:
+        n = self._shard_size()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -48,6 +59,9 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_rank :: self.num_shards]
+        n = len(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             sel = idx[start : start + self.batch_size]

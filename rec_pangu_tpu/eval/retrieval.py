@@ -60,10 +60,27 @@ def merge_multi_interest(ids: np.ndarray, scores: np.ndarray, topn: int) -> List
 
 
 def get_recall_predict(model, variables, test_loader, topn: int = 200,
-                       user_emb_key: str = "user_emb") -> Dict[str, List[int]]:
-    """Run the model over the eval loader and return {user: top-N item ids}."""
+                       user_emb_key: str = "user_emb",
+                       mesh=None) -> Dict[str, List[int]]:
+    """Run the model over the eval loader and return {user: top-N item ids}.
+
+    With ``mesh`` the scoring runs as a two-stage distributed top-k with the
+    item table row-sharded over the model axis (parallel/topk.py)."""
     item_embs = model.apply(variables, method="output_items")
-    scorer = make_topn_scorer(item_embs, topn)
+    if mesh is not None:
+        from ..parallel.topk import distributed_topk, pad_to_multiple
+        from ..parallel.mesh import MODEL_AXIS
+
+        n_model = mesh.shape[MODEL_AXIS]
+        items_n = l2_normalize(item_embs.astype(jnp.float32))
+        items_p = pad_to_multiple(items_n, n_model, axis=0)
+
+        def scorer(user_embs):
+            u = l2_normalize(jnp.asarray(user_embs, jnp.float32))
+            with mesh:
+                return distributed_topk(mesh, u, items_p, topn)
+    else:
+        scorer = make_topn_scorer(item_embs, topn)
 
     user_fn = jax.jit(lambda batch: model.apply(variables, batch, False))
 

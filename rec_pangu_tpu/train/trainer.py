@@ -348,7 +348,8 @@ class SequenceTrainer(_BaseTrainer):
         retrieval then per-k recall/ndcg/hitrate."""
         topk_list = topk_list or [20, 50, 100]
         test_gd = test_loader.dataset.get_test_gd()
-        preds = get_recall_predict(self.model, self._variables(), test_loader, topn=200)
+        preds = get_recall_predict(self.model, self._variables(), test_loader,
+                                   topn=200, mesh=getattr(self, "mesh", None))
         metric_dict: Dict[str, float] = {}
         for k in topk_list:
             res = evaluate_recall(preds, test_gd, k)

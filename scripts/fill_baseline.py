@@ -33,8 +33,8 @@ for name in ["DeepFM", "DCN", "xDeepFM", "AutoInt", "FiBiNet", "MaskNet"]:
     model = get_model(name)(enc_dict=enc_dict)
     tr = RankTrainer(num_task=1, model_ckpt_dir=f"/tmp/baseline_ckpt/{name}")
     t0 = time.time()
-    tr.fit(model, train_loader, valid_loader, epoch=30, lr=1e-3,
-           use_earlystopping=True, max_patience=5, monitor_metric="roc_auc_score")
+    tr.fit(model, train_loader, valid_loader, epoch=15, lr=1e-3,
+           use_earlystopping=True, max_patience=3, monitor_metric="roc_auc_score")
     results[name] = {"test": tr.evaluate_model(model, test_loader),
                      "train_s": round(time.time() - t0, 1)}
     print(name, results[name], flush=True)
@@ -51,7 +51,7 @@ for name in ["MMOE", "ESSM"]:
     model = get_model(name)(enc_dict=enc_dict)
     tr = RankTrainer(num_task=2, model_ckpt_dir=f"/tmp/baseline_ckpt/{name}")
     t0 = time.time()
-    tr.fit(model, train_loader, valid_loader, epoch=20, lr=1e-3)
+    tr.fit(model, train_loader, valid_loader, epoch=10, lr=1e-3)
     results[name] = {"test": tr.evaluate_model(model, test_loader),
                      "train_s": round(time.time() - t0, 1)}
     print(name, results[name], flush=True)
@@ -71,7 +71,7 @@ for name in ["YotubeDNN", "GRU4Rec", "NARM", "ComirecSA", "ComirecDR", "MIND"]:
     model = get_model(name)(enc_dict=enc_dict, config=config)
     tr = SequenceTrainer(model_ckpt_dir=f"/tmp/baseline_ckpt/{name}")
     t0 = time.time()
-    tr.fit(model, train_loader, None, epoch=5, lr=1e-3, log_rounds=100)
+    tr.fit(model, train_loader, None, epoch=2, lr=1e-3, log_rounds=100)
     results[name] = {"test": tr.evaluate_model(model, test_loader),
                      "train_s": round(time.time() - t0, 1)}
     print(name, results[name], flush=True)

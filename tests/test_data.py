@@ -93,3 +93,19 @@ def test_sequence_dataset(seq_dfs):
     before = ds.arrays["target_item"].copy()
     ds.resample(1)
     assert (before != ds.arrays["target_item"]).any()
+
+
+def test_loader_per_host_sharding(ranking_df):
+    from rec_pangu_tpu.data import RankingDataset
+
+    ds = RankingDataset(RANKING_SCHEMA, ranking_df[:80])
+    shards = []
+    for rank in range(4):
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=11,
+                            shard_rank=rank, num_shards=4)
+        rows = np.concatenate([b["label"] for b in loader])
+        shards.append(rows)
+        assert len(rows) == 20
+    # shards are disjoint and cover all rows (same shuffle seed across ranks)
+    total = sum(len(s) for s in shards)
+    assert total == 80
