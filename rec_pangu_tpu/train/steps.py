@@ -48,9 +48,7 @@ def create_train_state(
     )
 
 
-def make_train_step(has_batch_stats: bool):
-    """Build a jitted (state, batch, rng) -> (state, out) step."""
-
+def _train_step_fn(has_batch_stats: bool):
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
 
@@ -77,7 +75,30 @@ def make_train_step(has_batch_stats: bool):
         )
         return new_state, out
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(has_batch_stats: bool):
+    """Build a jitted (state, batch, rng) -> (state, out) step."""
+    return jax.jit(_train_step_fn(has_batch_stats), donate_argnums=(0,))
+
+
+def make_multi_step(has_batch_stats: bool, num_steps: int):
+    """Fused K-step trainer: one dispatch runs ``num_steps`` optimizer steps
+    via lax.scan over a stacked batch pytree (leading axis K).  Keeps the TPU
+    busy without per-step host round-trips; returns per-step losses and the
+    last step's outputs."""
+    single = _train_step_fn(has_batch_stats)
+
+    def multi_step(state: TrainState, stacked_batches, rng):
+        def body(st, batch):
+            st, out = single(st, batch, rng)
+            return st, out
+
+        state, outs = jax.lax.scan(body, state, stacked_batches)
+        return state, outs
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_eval_step(has_batch_stats: bool):

@@ -30,7 +30,8 @@ from ..eval.retrieval import evaluate_recall, get_recall_predict
 from ..utils.logging import HAS_WANDB, logger, wandb
 from .ckpt import load_checkpoint, save_checkpoint
 from .optim import make_optimizer
-from .steps import TrainState, create_train_state, make_eval_step, make_train_step, strip_host_keys
+from .steps import (TrainState, create_train_state, make_eval_step,
+                    make_multi_step, make_train_step, strip_host_keys)
 
 
 class _BaseTrainer:
@@ -162,7 +163,8 @@ class RankTrainer(_BaseTrainer):
             monitor_metric: Optional[str] = None, lr_scheduler_type: str = "",
             scheduler_params: Optional[dict] = None, seed: int = 1029,
             log_rounds: int = 100, mesh=None, resume_from: Optional[str] = None,
-            profile_dir: Optional[str] = None) -> Dict[str, float]:
+            profile_dir: Optional[str] = None,
+            steps_per_call: int = 1) -> Dict[str, float]:
         if self.use_wandb:
             wandb.init(**self.wandb_config)
         os.makedirs(self.model_ckpt_dir, exist_ok=True)
@@ -173,6 +175,9 @@ class RankTrainer(_BaseTrainer):
         if resume_from:
             self.resume(resume_from)
         self._profile_dir = profile_dir
+        self._steps_per_call = max(1, int(steps_per_call))
+        if self._steps_per_call > 1:
+            self._multi_step = make_multi_step(self._has_bs, self._steps_per_call)
 
         logger.info("Model Starting Training")
         best_epoch, best_metric = -1, -np.inf
@@ -208,22 +213,60 @@ class RankTrainer(_BaseTrainer):
         labels: List[np.ndarray] = []
         max_iter = len(train_loader)
         start = time.time()
-        for idx, batch in enumerate(train_loader):
+        K = getattr(self, "_steps_per_call", 1)
+
+        def record(out, label, k_axis=False):
+            if self.num_task == 1:
+                p = out["pred"]
+            else:
+                p = jax.numpy.concatenate(
+                    [out[f"task{t + 1}_pred"][..., None]
+                     for t in range(self.num_task)], axis=-1)
+            if k_axis:  # multi-step outputs carry a leading [K] axis
+                p = p.reshape(-1, p.shape[-1]) if p.ndim > 2 else p.reshape(-1)
+                label = label.reshape(-1, label.shape[-1]) \
+                    if label.ndim > 2 else label.reshape(-1)
+            preds.append(p)
+            labels.append(label)
+
+        group: List[Dict] = []
+        idx = 0
+        for batch in train_loader:
             batch, _ = strip_host_keys(batch)
+            if K > 1:
+                group.append(batch)
+                full = all(g["label"].shape == group[0]["label"].shape for g in group)
+                if len(group) == K and full:
+                    stacked = {key: np.stack([g[key] for g in group])
+                               for key in group[0]}
+                    stacked = self._put(stacked)
+                    self.state, outs = self._multi_step(self.state, stacked, self._rng)
+                    record(outs, stacked["label"], k_axis=True)
+                    group = []
+                    idx += K
+                elif not full:
+                    # flush the unstackable tail one step at a time
+                    for g in group:
+                        g = self._put(g)
+                        self.state, out = self._train_step(self.state, g, self._rng)
+                        record(out, g["label"])
+                        idx += 1
+                    group = []
+                continue
             batch = self._put(batch)
             self.state, out = self._train_step(self.state, batch, self._rng)
-            if self.num_task == 1:
-                preds.append(out["pred"])
-            else:
-                preds.append(jax.numpy.concatenate(
-                    [out[f"task{t + 1}_pred"].reshape(-1, 1) for t in range(self.num_task)], axis=1))
-            labels.append(batch["label"])
+            record(out, batch["label"])
             if idx % log_rounds == 0:
                 loss = float(out["loss"])
                 elapsed = time.time() - start
                 remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
                 logger.info(
                     f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+            idx += 1
+        for g in group:  # remainder when the loader ends mid-group
+            g = self._put(g)
+            self.state, out = self._train_step(self.state, g, self._rng)
+            record(out, g["label"])
         if profiling:
             jax.profiler.stop_trace()
             logger.info(f"Profiler trace written to {self._profile_dir}")
