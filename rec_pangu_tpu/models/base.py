@@ -107,14 +107,40 @@ class SequenceModelBase(nn.Module):
         return self.item_emb.all_items()
 
     def calculate_loss(self, user_emb: jnp.ndarray, pos_item: jnp.ndarray) -> jnp.ndarray:
-        """Full-softmax CE of user_emb against the whole item table
-        (parity: base_model.py:124-138 — the B x V hot matmul)."""
+        """Training loss of user_emb against the item corpus.
+
+        Default is the reference's full-softmax CE (base_model.py:124-138 —
+        the B x V hot matmul).  ``config['loss_type'] = 'sampled'`` switches
+        to sampled softmax with ``config['num_negatives']`` (default 1024)
+        shared uniform negatives — the scale knob for industrial vocabularies
+        where B x V no longer fits the step budget.
+        """
+        if self.config.get("loss_type", "full") == "sampled":
+            return self.calculate_sampled_loss(
+                user_emb, pos_item, int(self.config.get("num_negatives", 1024)))
         all_items = self.output_items()
         scores = jnp.dot(user_emb, all_items.T, preferred_element_type=jnp.float32)
         logprobs = jax.nn.log_softmax(scores, axis=-1)
         pos = pos_item.reshape(-1)
         nll = -jnp.take_along_axis(logprobs, pos[:, None], axis=1)[:, 0]
         return jnp.mean(nll)
+
+    def calculate_sampled_loss(self, user_emb: jnp.ndarray, pos_item: jnp.ndarray,
+                               num_negatives: int = 1024) -> jnp.ndarray:
+        """Sampled-softmax CE: positive vs a batch-shared set of uniform
+        negative items (ids >= 1; 0 is padding)."""
+        all_items = self.output_items()
+        v = all_items.shape[0]
+        rng = (self.make_rng("dropout") if self.has_rng("dropout")
+               else jax.random.PRNGKey(0))
+        neg_ids = jax.random.randint(rng, (num_negatives,), 1, v)
+        pos = pos_item.reshape(-1)
+        pos_scores = jnp.sum(user_emb * jnp.take(all_items, pos, axis=0),
+                             axis=-1, keepdims=True)
+        neg_scores = jnp.dot(user_emb, jnp.take(all_items, neg_ids, axis=0).T,
+                             preferred_element_type=jnp.float32)
+        logits = jnp.concatenate([pos_scores, neg_scores], axis=1)
+        return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
 
     @staticmethod
     def gather_indexes(output: jnp.ndarray, gather_index: jnp.ndarray) -> jnp.ndarray:

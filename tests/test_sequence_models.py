@@ -110,3 +110,19 @@ def test_special_sequence_models(name, seq_batch, enc_dict):
     ue = out_eval["user_emb"]
     assert ue.shape[0] == B and ue.shape[-1] == 16
     assert np.all(np.isfinite(np.asarray(ue)))
+
+
+def test_sampled_softmax_loss(seq_batch, enc_dict):
+    model = get_model("GRU4Rec")(
+        enc_dict=enc_dict,
+        config=make_config(loss_type="sampled", num_negatives=32))
+    tx = make_optimizer(1e-3, 1)
+    state = create_train_state(model, seq_batch, tx, jax.random.PRNGKey(0))
+    step = make_train_step(state.batch_stats is not None)
+    rng = jax.random.PRNGKey(1)
+    state, out = step(state, seq_batch, rng)
+    loss0 = float(out["loss"])
+    assert np.isfinite(loss0)
+    for _ in range(15):
+        state, out = step(state, seq_batch, rng)
+    assert float(out["loss"]) < loss0
