@@ -72,6 +72,7 @@ class SequenceDataset:
         }
 
         self.arrays: Dict[str, np.ndarray] = {}
+        self._built_epoch: Optional[int] = None
         if self.phase == "train":
             self.resample(0)
         else:
@@ -90,8 +91,11 @@ class SequenceDataset:
         return np.array([int(0.8 * len(x)) for x in self._item_lists], dtype=np.int64)
 
     def resample(self, epoch: int) -> None:
-        if self.phase != "train":
+        """Rebuild training windows; idempotent per epoch so the trainer's
+        sample-batch peek doesn't pay the build cost twice."""
+        if self.phase != "train" or epoch == self._built_epoch:
             return
+        self._built_epoch = epoch
         self._build(self._train_split_points())
 
     def _window(self, seq: np.ndarray, k: int) -> np.ndarray:

@@ -73,12 +73,14 @@ def get_recall_predict(model, variables, test_loader, topn: int = 200,
 
         n_model = mesh.shape[MODEL_AXIS]
         items_n = l2_normalize(item_embs.astype(jnp.float32))
+        num_valid = items_n.shape[0]
         items_p = pad_to_multiple(items_n, n_model, axis=0)
 
         def scorer(user_embs):
             u = l2_normalize(jnp.asarray(user_embs, jnp.float32))
             with mesh:
-                return distributed_topk(mesh, u, items_p, topn)
+                return distributed_topk(mesh, u, items_p, topn,
+                                        num_valid=num_valid)
     else:
         scorer = make_topn_scorer(item_embs, topn)
 

@@ -18,24 +18,10 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops.numerics import safe_l2norm
+from ...ops.graph import NGCFLayer as _NGCFLayer
 from ..base import register_model
 
 KERNEL_INIT = nn.initializers.xavier_normal()
-
-
-class _NGCFLayer(nn.Module):
-    out_dim: int
-    dropout: float = 0.1
-
-    @nn.compact
-    def __call__(self, side: jnp.ndarray, ego: jnp.ndarray,
-                 train: bool = True) -> jnp.ndarray:
-        w1 = nn.Dense(self.out_dim, kernel_init=KERNEL_INIT, name="W1")
-        w2 = nn.Dense(self.out_dim, kernel_init=KERNEL_INIT, name="W2")
-        out = nn.leaky_relu(w1(ego) + w1(side) + w2(ego * side), negative_slope=0.2)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return safe_l2norm(out)
 
 
 @register_model("NGCF")

@@ -18,12 +18,20 @@ KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 def scaled_dot_product_attention(q, k, v, scale: Optional[float] = None,
                                  mask: Optional[jnp.ndarray] = None):
-    """q,k,v: [..., L, dh] -> ([..., L, dh], attention weights)."""
+    """q,k,v: [..., L, dh] -> ([..., L, dh], attention weights).
+
+    ``mask`` follows the codebase-wide convention: boolean True = KEEP (or an
+    additive float mask).  -1e6 (finite) is used so fully-masked rows degrade
+    to uniform attention instead of NaN.
+    """
     att = jnp.einsum("...ld,...md->...lm", q, k)
     if scale:
         att = att / scale
     if mask is not None:
-        att = jnp.where(mask, -jnp.inf, att)
+        if mask.dtype == jnp.bool_:
+            att = jnp.where(mask, att, -1e6)
+        else:
+            att = att + mask
     att = nn.softmax(att, axis=-1)
     out = jnp.einsum("...lm,...md->...ld", att, v)
     return out, att

@@ -83,22 +83,22 @@ class SRGNNCell(nn.Module):
 
 
 class NGCFLayer(nn.Module):
-    """NGCF bipartite message passing (graph.py:87-122): for each edge u-v,
-    message = (W1 h_u + W2 (h_u ⊙ h_v)) * norm; dense formulation over the
-    full [U+V, U+V] normalized adjacency."""
+    """NGCF bipartite message passing (graph.py:87-122): given the aggregated
+    neighbor messages ``side`` for a node set, the update is
+    leaky_relu(W1 ego + W1 side + W2 (ego ⊙ side)) -> dropout -> L2 norm."""
 
-    dim: int
+    out_dim: int
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, adj_norm: jnp.ndarray, ego: jnp.ndarray,
+    def __call__(self, side: jnp.ndarray, ego: jnp.ndarray,
                  train: bool = True) -> jnp.ndarray:
-        w1 = nn.Dense(self.dim, kernel_init=KERNEL_INIT, name="W1")
-        w2 = nn.Dense(self.dim, kernel_init=KERNEL_INIT, name="W2")
-        side = adj_norm @ ego
-        sum_emb = w1(side)
-        bi_emb = w2(ego * side)
-        out = nn.leaky_relu(w1(ego) + sum_emb + bi_emb, negative_slope=0.2)
+        from .numerics import safe_l2norm
+
+        xavier = nn.initializers.xavier_normal()
+        w1 = nn.Dense(self.out_dim, kernel_init=xavier, name="W1")
+        w2 = nn.Dense(self.out_dim, kernel_init=xavier, name="W2")
+        out = nn.leaky_relu(w1(ego) + w1(side) + w2(ego * side),
+                            negative_slope=0.2)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return out / jnp.maximum(
-            jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return safe_l2norm(out)

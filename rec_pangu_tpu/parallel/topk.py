@@ -9,27 +9,24 @@ shard instead of a full [B, V] gather.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
 
 
-def distributed_topk(mesh: Mesh, user_embs: jnp.ndarray, item_embs: jnp.ndarray,
-                     k: int):
-    """user_embs [B, D] x item_embs [V, D] (V divisible by model-axis size)
-    -> (scores [B, k], global item ids [B, k])."""
-    n_model = mesh.shape[MODEL_AXIS]
-    V = item_embs.shape[0]
-    shard_rows = V // n_model
-
+@lru_cache(maxsize=32)
+def _build_topk_fn(mesh: Mesh, k: int, shard_rows: int, num_valid: int):
     def local_score(u, items):
         # items: this device's [V/P, D] shard; ids offset by shard position
         idx = jax.lax.axis_index(MODEL_AXIS)
         scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        # mask padding rows (global id >= num_valid) so they never rank
+        row_ids = idx * shard_rows + jnp.arange(shard_rows)
+        scores = jnp.where(row_ids[None, :] >= num_valid, -jnp.inf, scores)
         s, i = jax.lax.top_k(scores, min(k, shard_rows))
         i = i + idx * shard_rows
         # gather candidates from every model shard: [P*k_local] per row
@@ -38,7 +35,7 @@ def distributed_topk(mesh: Mesh, user_embs: jnp.ndarray, item_embs: jnp.ndarray,
         s_fin, pos = jax.lax.top_k(s_all, k)
         return s_fin, jnp.take_along_axis(i_all, pos, axis=1)
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local_score, mesh=mesh,
             in_specs=(P(), P(MODEL_AXIS, None)),
@@ -46,6 +43,18 @@ def distributed_topk(mesh: Mesh, user_embs: jnp.ndarray, item_embs: jnp.ndarray,
             check_vma=False,
         )
     )
+
+
+def distributed_topk(mesh: Mesh, user_embs: jnp.ndarray, item_embs: jnp.ndarray,
+                     k: int, num_valid: int | None = None):
+    """user_embs [B, D] x item_embs [V, D] (V divisible by model-axis size)
+    -> (scores [B, k], global item ids [B, k]).  ``num_valid`` masks padding
+    rows appended to make V divisible; the jitted two-stage kernel is cached
+    per (mesh, k, shard, num_valid)."""
+    n_model = mesh.shape[MODEL_AXIS]
+    V = item_embs.shape[0]
+    shard_rows = V // n_model
+    fn = _build_topk_fn(mesh, k, shard_rows, num_valid if num_valid is not None else V)
     return fn(user_embs, item_embs)
 
 

@@ -32,9 +32,10 @@ def create_train_state(
     rng: jax.Array,
     train: bool = True,
 ) -> TrainState:
-    init_rng, dropout_rng = jax.random.split(rng)
+    init_rng, dropout_rng, routing_rng = jax.random.split(rng, 3)
     variables = model.init(
-        {"params": init_rng, "dropout": dropout_rng}, sample_batch, train
+        {"params": init_rng, "dropout": dropout_rng, "routing": routing_rng},
+        sample_batch, train,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", None)
@@ -51,6 +52,8 @@ def create_train_state(
 def _train_step_fn(has_batch_stats: bool):
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        # 'routing' feeds MIND's per-step gaussian routing-logit init
+        rngs = {"dropout": step_rng, "routing": jax.random.fold_in(step_rng, 1)}
 
         def loss_fn(params):
             variables = {"params": params}
@@ -58,10 +61,10 @@ def _train_step_fn(has_batch_stats: bool):
                 variables["batch_stats"] = state.batch_stats
                 out, mutated = state.apply_fn(
                     variables, batch, True,
-                    rngs={"dropout": step_rng}, mutable=["batch_stats"],
+                    rngs=rngs, mutable=["batch_stats"],
                 )
                 return out["loss"], (out, mutated.get("batch_stats"))
-            out = state.apply_fn(variables, batch, True, rngs={"dropout": step_rng})
+            out = state.apply_fn(variables, batch, True, rngs=rngs)
             return out["loss"], (out, None)
 
         grads, (out, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

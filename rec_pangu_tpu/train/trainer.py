@@ -56,13 +56,28 @@ class _BaseTrainer:
         logger.info(f"Queued pretrained embedding for column:{col_name} "
                     f"With Trainable={trainable}")
 
-    def _put(self, batch):
-        """Shard a host batch over the data axis when a mesh is active."""
-        if getattr(self, "mesh", None) is not None:
-            from ..parallel import shard_batch
+    def _put(self, batch, stacked: bool = False):
+        """Shard a host batch over the data axis when a mesh is active.
 
-            return shard_batch(batch, self.mesh)
-        return batch
+        ``stacked`` marks multi-step batches [K, B, ...]: the batch axis is
+        axis 1.  Batches whose batch axis is not divisible by the data-axis
+        size (e.g. the final partial batch with drop_last=False) are placed
+        replicated instead — correct, just not data-parallel for that batch.
+        """
+        if getattr(self, "mesh", None) is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = self.mesh.shape[DATA_AXIS]
+        axis = 1 if stacked else 0
+        some = next(iter(batch.values()))
+        if some.shape[axis] % n_data != 0:
+            return jax.device_put(
+                batch, NamedSharding(self.mesh, P()))
+        spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+        return jax.device_put(batch, NamedSharding(self.mesh, spec))
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
@@ -126,10 +141,11 @@ class _BaseTrainer:
         logger.info(f"Model+enc_dict saved to {path}")
 
     def save_train_model(self, model, model_ckpt_dir: str, model_str: str):
-        """Per-epoch checkpoint 'model_{str}.ckpt' (parity: trainer.py:152-164)."""
+        """Per-epoch checkpoint 'model_{str}.ckpt' (parity: trainer.py:152-164),
+        including optimizer state so fit(resume_from=...) truly resumes."""
         path = os.path.join(model_ckpt_dir, f"model_{model_str}.ckpt")
         save_checkpoint(path, self.state.params, self.state.batch_stats,
-                        step=int(self.state.step))
+                        opt_state=self.state.opt_state, step=int(self.state.step))
 
     def resume(self, path: str):
         """True resume (beyond the reference, which only saves): restore
@@ -239,7 +255,7 @@ class RankTrainer(_BaseTrainer):
                 if len(group) == K and full:
                     stacked = {key: np.stack([g[key] for g in group])
                                for key in group[0]}
-                    stacked = self._put(stacked)
+                    stacked = self._put(stacked, stacked=True)
                     self.state, outs = self._multi_step(self.state, stacked, self._rng)
                     record(outs, stacked["label"], k_axis=True)
                     group = []
