@@ -30,14 +30,23 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(norm, eps)
 
 
-def make_topn_scorer(item_embs: jnp.ndarray, topn: int):
-    """Returns a jitted fn: user_embs [B, D] -> (scores [B, topn], ids [B, topn])."""
+def make_topn_scorer(item_embs: jnp.ndarray, topn: int,
+                     approx_recall_target: float | None = None):
+    """Returns a jitted fn: user_embs [B, D] -> (scores [B, topn], ids [B, topn]).
+
+    ``approx_recall_target`` (e.g. 0.99) switches the candidate selection to
+    ``jax.lax.approx_max_k`` — the TPU-optimized partial-reduce top-k that
+    avoids the full sort ``lax.top_k`` pays on large corpora.  Exact by
+    default for metric parity with the reference's faiss IndexFlatIP."""
     items = l2_normalize(item_embs.astype(jnp.float32))
 
     @jax.jit
     def score(user_embs: jnp.ndarray):
         u = l2_normalize(user_embs.astype(jnp.float32))
         s = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        if approx_recall_target is not None:
+            return jax.lax.approx_max_k(s, topn,
+                                        recall_target=approx_recall_target)
         return jax.lax.top_k(s, topn)
 
     return score
@@ -61,11 +70,14 @@ def merge_multi_interest(ids: np.ndarray, scores: np.ndarray, topn: int) -> List
 
 def get_recall_predict(model, variables, test_loader, topn: int = 200,
                        user_emb_key: str = "user_emb",
-                       mesh=None) -> Dict[str, List[int]]:
+                       mesh=None,
+                       approx_recall_target: float | None = None) -> Dict[str, List[int]]:
     """Run the model over the eval loader and return {user: top-N item ids}.
 
     With ``mesh`` the scoring runs as a two-stage distributed top-k with the
-    item table row-sharded over the model axis (parallel/topk.py)."""
+    item table row-sharded over the model axis (parallel/topk.py).
+    ``approx_recall_target`` enables the TPU approx top-k fast path on the
+    single-device scorer (see make_topn_scorer)."""
     item_embs = model.apply(variables, method="output_items")
     if mesh is not None:
         from ..parallel.topk import distributed_topk, pad_to_multiple
@@ -82,7 +94,8 @@ def get_recall_predict(model, variables, test_loader, topn: int = 200,
                 return distributed_topk(mesh, u, items_p, topn,
                                         num_valid=num_valid)
     else:
-        scorer = make_topn_scorer(item_embs, topn)
+        scorer = make_topn_scorer(item_embs, topn,
+                                  approx_recall_target=approx_recall_target)
 
     user_fn = jax.jit(lambda batch: model.apply(variables, batch, False))
 

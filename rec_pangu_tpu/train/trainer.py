@@ -402,13 +402,16 @@ class SequenceTrainer(_BaseTrainer):
                         break
 
     def evaluate_model(self, model, test_loader: DataLoader, device=None,
-                       topk_list: Optional[List[int]] = None) -> Dict[str, float]:
+                       topk_list: Optional[List[int]] = None,
+                       approx_recall_target: Optional[float] = None) -> Dict[str, float]:
         """Parity: model_pipeline.test_sequence_model:281-318 — top-200
-        retrieval then per-k recall/ndcg/hitrate."""
+        retrieval then per-k recall/ndcg/hitrate.  ``approx_recall_target``
+        (e.g. 0.99) opts into the TPU approx top-k candidate scorer."""
         topk_list = topk_list or [20, 50, 100]
         test_gd = test_loader.dataset.get_test_gd()
         preds = get_recall_predict(self.model, self._variables(), test_loader,
-                                   topn=200, mesh=getattr(self, "mesh", None))
+                                   topn=200, mesh=getattr(self, "mesh", None),
+                                   approx_recall_target=approx_recall_target)
         metric_dict: Dict[str, float] = {}
         for k in topk_list:
             res = evaluate_recall(preds, test_gd, k)

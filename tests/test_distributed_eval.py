@@ -41,3 +41,18 @@ def test_distributed_recall_matches_single(seq_dfs):
     assert same / len(users) > 0.95
     for u in users[:50]:
         assert set(preds_single[u][:10]) == set(preds_mesh[u][:10])
+
+
+def test_approx_topk_scorer_matches_exact_on_cpu():
+    # approx_max_k degrades to exact selection at this tiny corpus size; the
+    # point is to exercise the approx code path end-to-end
+    from rec_pangu_tpu.eval.retrieval import make_topn_scorer
+
+    rng = np.random.default_rng(0)
+    items = rng.standard_normal((257, 16)).astype(np.float32)
+    users = rng.standard_normal((9, 16)).astype(np.float32)
+    s_exact, i_exact = make_topn_scorer(items, 10)(users)
+    s_apx, i_apx = make_topn_scorer(items, 10, approx_recall_target=0.95)(users)
+    # same candidate sets (order may differ within score ties)
+    for r in range(users.shape[0]):
+        assert set(np.asarray(i_apx)[r].tolist()) == set(np.asarray(i_exact)[r].tolist())
