@@ -30,6 +30,10 @@ BASELINE_EXAMPLES_PER_S = 16_883.0  # torch-cpu (scripts/baseline_torch.py)
 def main():
     import jax
 
+    from rec_pangu_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # relay compiles are bursty; reuse executables
+
     from rec_pangu_tpu.models import get_model
     from rec_pangu_tpu.train.optim import make_optimizer
     from rec_pangu_tpu.train.steps import create_train_state, make_train_step

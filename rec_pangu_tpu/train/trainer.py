@@ -83,6 +83,9 @@ class _BaseTrainer:
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
                      lr_scheduler_type="", scheduler_params=None, seed=1029,
                      mesh=None):
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.mesh = mesh
         tx = make_optimizer(lr, steps_per_epoch, lr_scheduler_type, scheduler_params)
         rng = jax.random.PRNGKey(seed)

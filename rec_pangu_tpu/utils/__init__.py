@@ -1,4 +1,5 @@
 from .check_version import check_version
+from .compile_cache import enable_compilation_cache
 from .device import get_device_usage, set_device
 from .json_utils import beautify_json
 from .seed import seed_everything
