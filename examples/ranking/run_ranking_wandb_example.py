@@ -1,0 +1,49 @@
+"""Ranking with wandb tracking — mirrors
+/root/reference/examples/ranking/run_ranking_wandb_example.py.
+
+Set WANDB_API_KEY in the environment (or put ``"key": "..."`` in
+wandb_config, as the reference does); without a key the run still works,
+wandb just stays disabled.
+"""
+import os
+import sys
+
+sys.path.append("../../")
+import pandas as pd
+
+from rec_pangu_tpu.data import get_dataloader
+from rec_pangu_tpu.models import get_model
+from rec_pangu_tpu.train import RankTrainer
+
+if __name__ == "__main__":
+    df = pd.read_csv(
+        "/root/reference/examples/ranking/sample_data/ranking_sample_data.csv"
+    )
+    schema = {
+        "sparse_cols": ["user_id", "item_id", "item_type", "dayofweek", "is_workday",
+                        "city", "county", "town", "village", "lbs_city", "lbs_district",
+                        "hardware_platform", "hardware_ischarging", "os_type",
+                        "network_type", "position"],
+        "dense_cols": ["item_expo_1d", "item_expo_7d", "item_expo_14d", "item_expo_30d",
+                       "item_clk_1d", "item_clk_7d", "item_clk_14d", "item_clk_30d",
+                       "use_duration"],
+        "label_col": "click",
+        "task_type": "ranking",
+    }
+    wandb_config = {
+        "key": os.environ.get("WANDB_API_KEY"),
+        "project": "pangu_ranking_example",
+        "name": "exp_2",
+        "config": {"embedding_dim": 16, "hidden_units": [64, 32, 16]},
+    }
+    train_df, valid_df, test_df = df[:80], df[:90], df[:95]
+    train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+        train_df, valid_df, test_df, schema, batch_size=512
+    )
+    model = get_model("DeepFM")(**wandb_config["config"], enc_dict=enc_dict)
+    trainer = RankTrainer(num_task=1, wandb_config=wandb_config)
+    trainer.fit(model, train_loader, valid_loader, epoch=500, lr=1e-3,
+                use_earlystopping=True, max_patience=5,
+                monitor_metric="valid_roc_auc_score")
+    trainer.save_all(model, enc_dict, "./model_ckpt")
+    print("Test metric:", trainer.evaluate_model(model, test_loader))

@@ -56,6 +56,15 @@ class _BaseTrainer:
         logger.info(f"Queued pretrained embedding for column:{col_name} "
                     f"With Trainable={trainable}")
 
+    def _wandb_init(self):
+        """Parity: rec_pangu/trainer.py:46-49 — pop the api key, login,
+        then init with the remaining config."""
+        cfg = dict(self.wandb_config)
+        key = cfg.pop("key", None)
+        if key:
+            wandb.login(key=key)
+        wandb.init(**cfg)
+
     def _put(self, batch, stacked: bool = False):
         """Shard a host batch over the data axis when a mesh is active.
 
@@ -185,7 +194,7 @@ class RankTrainer(_BaseTrainer):
             profile_dir: Optional[str] = None,
             steps_per_call: int = 1) -> Dict[str, float]:
         if self.use_wandb:
-            wandb.init(**self.wandb_config)
+            self._wandb_init()
         os.makedirs(self.model_ckpt_dir, exist_ok=True)
 
         sample_batch = next(iter(train_loader))
@@ -360,7 +369,7 @@ class SequenceTrainer(_BaseTrainer):
             mesh=None) -> None:
         topk_list = topk_list or [20, 50, 100]
         if self.use_wandb:
-            wandb.init(**self.wandb_config)
+            self._wandb_init()
         os.makedirs(self.model_ckpt_dir, exist_ok=True)
 
         sample_batch, _ = strip_host_keys(next(iter(train_loader)))

@@ -48,3 +48,24 @@ def test_benchmark_trainer(ranking_df, tmp_path):
     assert {"model_name", "train_model_time(ms)", "test_model_time(ms)",
             "valid_roc_auc_score", "test_log_loss"} <= set(df.columns)
     assert (tmp_path / "res.csv").exists()
+
+
+def test_benchmark_trainer_multi_task(multitask_df, tmp_path):
+    from conftest import MULTITASK_SCHEMA
+
+    loaders = get_dataloader(multitask_df, multitask_df, multitask_df,
+                             MULTITASK_SCHEMA, batch_size=512)
+    train_loader, valid_loader, test_loader, enc_dict = loaders
+    names = ["ShareBottom", "ESSM"]
+    bt = BenchmarkTrainer(
+        model_list=names, num_task=2,
+        model_ckpt_dir=str(tmp_path / "ckpt"),
+        benchmark_res_path=str(tmp_path / "res.csv"),
+    )
+    df = bt.run(train_loader, valid_loader, test_loader, enc_dict, epoch=2)
+    assert len(df) == 2
+    # reference parity quirk: multi-task metric keys already carry a 'test_'
+    # prefix (rec_pangu/model_pipeline.py:213), so the benchmark CSV columns
+    # are doubly prefixed, exactly like the reference's sweep output
+    assert "valid_test_task1_roc_auc_score" in df.columns
+    assert "test_test_task2_roc_auc_score" in df.columns
