@@ -13,11 +13,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.initializers import torch_kaiming_normal
 from ...ops.sequence_enc import KERNEL_INIT, TransformerEncoder
 from ..base import SequenceModelBase, register_model
 from .contrarec import augment_sequences
 
-RANDN_INIT = nn.initializers.normal(stddev=1.0)
+RANDN_INIT = nn.initializers.normal(stddev=1.0)  # 1-D params only (rou)
+# >=2D params are kaiming-overwritten by the reference's reset_parameters()
+# (base_model.py:42-59; iocrec.py:53 calls it)
+TORCH_KAIMING = torch_kaiming_normal()
 
 
 def info_nce_loss(v1: jnp.ndarray, v2: jnp.ndarray, temperature: float) -> jnp.ndarray:
@@ -46,7 +50,7 @@ class GlobalSeqEncoder(nn.Module):
     @nn.compact
     def __call__(self, item_emb: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         D = item_emb.shape[-1]
-        Q_s = self.param("Q_s", RANDN_INIT, (self.max_len, D))
+        Q_s = self.param("Q_s", TORCH_KAIMING, (self.max_len, D))
         key = nn.Dense(D, kernel_init=KERNEL_INIT, name="K_linear")(item_emb)
         value = nn.Dense(D, kernel_init=KERNEL_INIT, name="V_linear")(item_emb)
         attn = nn.softmax(jnp.einsum("ld,bmd->blm", Q_s, key), axis=-1)
@@ -61,8 +65,8 @@ class DisentangleEncoder(nn.Module):
     @nn.compact
     def __call__(self, local_emb, global_emb, seq_len):
         D = local_emb.shape[-1]
-        intentions = self.param("intentions", RANDN_INIT, (self.k_intention, D))
-        pos_fai = self.param("pos_fai", RANDN_INIT, (self.max_len, D))
+        intentions = self.param("intentions", TORCH_KAIMING, (self.k_intention, D))
+        pos_fai = self.param("pos_fai", TORCH_KAIMING, (self.max_len, D))
         rou = self.param("rou", RANDN_INIT, (D,))
         W = nn.Dense(D, kernel_init=KERNEL_INIT, name="W")
         ln1 = nn.LayerNorm(name="layer_norm_1")

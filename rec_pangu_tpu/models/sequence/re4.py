@@ -11,11 +11,14 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.initializers import torch_kaiming_normal
 from ...ops.numerics import safe_l2norm
 from ..base import SequenceModelBase, register_model
 from .comirec import best_interest
 
-RANDN_INIT = nn.initializers.normal(stddev=1.0)
+# reference constructors use torch.randn, but reset_parameters() overwrites
+# every >=2D param with kaiming-normal (base_model.py:42-59; re4.py calls it)
+TORCH_KAIMING = torch_kaiming_normal()
 KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
@@ -32,12 +35,12 @@ class Re4(SequenceModelBase):
         self.att_lambda = float(cfg.get("att_lambda", 0.01))
         self.ct_lambda = float(cfg.get("ct_lambda", 0.1))
         self.cs_lambda = float(cfg.get("cs_lambda", 0.1))
-        self.W1 = self.param("W1", RANDN_INIT, (256, D))
-        self.W1_2 = self.param("W1_2", RANDN_INIT, (self.K, 256))
-        self.W2 = self.param("W2", RANDN_INIT, (D, D))
-        self.W3 = self.param("W3", RANDN_INIT, (D, D))
-        self.W3_2 = self.param("W3_2", RANDN_INIT, (L, D))
-        self.W5 = self.param("W5", RANDN_INIT, (D, D))
+        self.W1 = self.param("W1", TORCH_KAIMING, (256, D))
+        self.W1_2 = self.param("W1_2", TORCH_KAIMING, (self.K, 256))
+        self.W2 = self.param("W2", TORCH_KAIMING, (D, D))
+        self.W3 = self.param("W3", TORCH_KAIMING, (D, D))
+        self.W3_2 = self.param("W3_2", TORCH_KAIMING, (L, D))
+        self.W5 = self.param("W5", TORCH_KAIMING, (D, D))
         self.fc1 = nn.Dense(D, kernel_init=KERNEL_INIT)
         self.fc_cons = nn.Dense(D * L, kernel_init=KERNEL_INIT)
 

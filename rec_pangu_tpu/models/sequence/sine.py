@@ -13,10 +13,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.initializers import torch_kaiming_normal
 from ...ops.numerics import safe_l2norm
 from ..base import SequenceModelBase, register_model
 
-SINE_INIT = nn.initializers.normal(stddev=0.01)
+SINE_INIT = nn.initializers.normal(stddev=0.01)  # 1-D params (w2, w4) only
+# >=2D params are kaiming-overwritten by the reference's reset_parameters()
+# (sine.py:41 executes it; the 0.01-normal _init_weight is dead for them)
+TORCH_KAIMING = torch_kaiming_normal()
 
 
 
@@ -30,13 +34,13 @@ class SINE(SequenceModelBase):
         self.k = int(cfg.get("interest_size", 4))
         self.tau = float(cfg.get("tau_ratio", 0.1))
         eps = float(cfg.get("layer_norm_eps", 1e-4))
-        self.w1 = self.param("w1", SINE_INIT, (D, D))
+        self.w1 = self.param("w1", TORCH_KAIMING, (D, D))
         self.w2 = self.param("w2", SINE_INIT, (D,))
-        self.w3 = self.param("w3", SINE_INIT, (D, D))
+        self.w3 = self.param("w3", TORCH_KAIMING, (D, D))
         self.w4 = self.param("w4", SINE_INIT, (D,))
-        self.C = self.param("C", SINE_INIT, (self.L, D))
-        self.w_k_1 = self.param("w_k_1", SINE_INIT, (self.k, D, D))
-        self.w_k_2 = self.param("w_k_2", SINE_INIT, (self.k, D))
+        self.C = self.param("C", TORCH_KAIMING, (self.L, D))
+        self.w_k_1 = self.param("w_k_1", TORCH_KAIMING, (self.k, D, D))
+        self.w_k_2 = self.param("w_k_2", TORCH_KAIMING, (self.k, D))
         self.ln2 = nn.LayerNorm(epsilon=eps)
         self.ln4 = nn.LayerNorm(epsilon=eps)
 

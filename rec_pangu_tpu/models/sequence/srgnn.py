@@ -65,11 +65,9 @@ class SRGNN(SequenceModelBase):
 @register_model("GCSAN")
 class GCSAN(SRGNN):
     def setup(self):
-        self.setup_base()
+        super().setup()  # GNN wiring shared with SRGNN (readout goes unused)
         cfg = self.config
-        self.step = int(cfg.get("step", 1))
         self.weight = float(cfg.get("weight", 0.1))
-        self.gnncell = SRGNNCell(self.embedding_dim)
         self.self_attention = TransformerEncoder(
             n_layers=int(cfg.get("n_layers", 2)),
             n_heads=int(cfg.get("n_heads", 4)),
@@ -99,14 +97,11 @@ class GCSAN(SRGNN):
 @register_model("NISER")
 class NISER(SRGNN):
     def setup(self):
-        self.setup_base()
+        super().setup()  # GNN wiring + readout shared with SRGNN
         cfg = self.config
-        self.step = int(cfg.get("step", 1))
         self.item_dropout = nn.Dropout(float(cfg.get("item_dropout", 0.1)))
         self.pos_embedding = self.param(
             "pos_embedding", KERNEL_INIT, (self.max_length, self.embedding_dim))
-        self.gnncell = SRGNNCell(self.embedding_dim)
-        self.readout = _SRGNNReadout(self.embedding_dim)
 
     def __call__(self, batch, train: bool = True):
         mask = batch["hist_mask_list"]

@@ -17,12 +17,15 @@ KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
 def scaled_dot_product_attention(q, k, v, scale: Optional[float] = None,
-                                 mask: Optional[jnp.ndarray] = None):
+                                 mask: Optional[jnp.ndarray] = None,
+                                 dropout: Optional[nn.Dropout] = None):
     """q,k,v: [..., L, dh] -> ([..., L, dh], attention weights).
 
     ``mask`` follows the codebase-wide convention: boolean True = KEEP (or an
     additive float mask).  -1e6 (finite) is used so fully-masked rows degrade
-    to uniform attention instead of NaN.
+    to uniform attention instead of NaN.  ``dropout`` (an already-configured
+    nn.Dropout) is applied to the attention probabilities, matching the
+    reference's ScaledDotProductAttention (attention.py:26-30).
     """
     att = jnp.einsum("...ld,...md->...lm", q, k)
     if scale:
@@ -33,6 +36,8 @@ def scaled_dot_product_attention(q, k, v, scale: Optional[float] = None,
         else:
             att = att + mask
     att = nn.softmax(att, axis=-1)
+    if dropout is not None:
+        att = dropout(att)
     out = jnp.einsum("...lm,...md->...ld", att, v)
     return out, att
 
@@ -64,7 +69,12 @@ class MultiHeadAttention(nn.Module):
         v = proj(value, "W_v").reshape(B, -1, self.num_heads, dh).transpose(0, 2, 1, 3)
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]
-        out, att = scaled_dot_product_attention(q, k, v, scale, mask)
+        # reference applies dropout twice: to the attention probabilities
+        # (attention.py:59 via ScaledDotProductAttention) AND to the output
+        att_drop = (nn.Dropout(self.dropout_rate, deterministic=not train)
+                    if self.dropout_rate > 0 else None)
+        out, att = scaled_dot_product_attention(q, k, v, scale, mask,
+                                                dropout=att_drop)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, output_dim)
 
         residual = query

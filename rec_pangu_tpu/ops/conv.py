@@ -78,8 +78,9 @@ class ResBlockTwoMasked(nn.Module):
 
 
 class ResBlockOneMasked(nn.Module):
-    """NextItNet bottleneck block (conv.py:61-100): 1x1 conv -> LN -> relu ->
-    causal conv(d) -> LN -> relu -> 1x1 conv -> +x."""
+    """NextItNet bottleneck block (conv.py:61-100), pre-activation form:
+    relu(LN1(x)) -> 1x1 conv -> relu(LN2) -> causal conv(d) -> relu(LN3) ->
+    1x1 conv -> +x."""
 
     channels: int
     kernel_size: int = 3
@@ -88,7 +89,9 @@ class ResBlockOneMasked(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.channels // 2
-        y = nn.relu(nn.LayerNorm()(nn.Dense(mid, kernel_init=KERNEL_INIT)(x)))
+        y = nn.relu(nn.LayerNorm()(x))
+        y = nn.Dense(mid, kernel_init=KERNEL_INIT)(y)
+        y = nn.relu(nn.LayerNorm()(y))
         y = MaskedConv1d(mid, self.kernel_size, self.dilation)(y)
         y = nn.relu(nn.LayerNorm()(y))
         y = nn.Dense(self.channels, kernel_init=KERNEL_INIT)(y)

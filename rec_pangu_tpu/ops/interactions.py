@@ -59,11 +59,19 @@ def inner_product(feature_emb: jnp.ndarray, output: str = "product_sum_pooling")
 
 
 class FMLayer(nn.Module):
-    """product_sum_pooling + optional final activation -> [B, 1]."""
+    """product_sum_pooling + optional final activation -> [B, 1]
+    (parity: FM_Layer, interaction.py:225-235)."""
+
+    final_activation: str = ""  # resolved via ops.activations.get_activation
 
     @nn.compact
     def __call__(self, feature_emb: jnp.ndarray) -> jnp.ndarray:
-        return inner_product(feature_emb, "product_sum_pooling")
+        out = inner_product(feature_emb, "product_sum_pooling")
+        if self.final_activation:
+            from .activations import get_activation
+
+            out = get_activation(self.final_activation)(out)
+        return out
 
 
 class BilinearInteraction(nn.Module):

@@ -19,7 +19,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-UNIFORM_INIT = nn.initializers.uniform(scale=1.0)
+from .initializers import torch_kaiming_normal
+
+# reference constructors use torch.rand, but reset_parameters() overwrites
+# every >=2D param with kaiming-normal (base_model.py:42-59) — replicate the
+# EXECUTED init, not the dead constructor one
+TORCH_KAIMING = torch_kaiming_normal()
 KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
@@ -32,8 +37,8 @@ class MultiInterestSelfAttention(nn.Module):
                  mask: jnp.ndarray = None) -> jnp.ndarray:
         D = sequence_embeddings.shape[-1]
         d = self.d or D * 4
-        W1 = self.param("W1", UNIFORM_INIT, (D, d))
-        W2 = self.param("W2", UNIFORM_INIT, (d, self.num_interests))
+        W1 = self.param("W1", TORCH_KAIMING, (D, d))
+        W2 = self.param("W2", TORCH_KAIMING, (d, self.num_interests))
         H = jnp.tanh(jnp.einsum("bse,ed->bsd", sequence_embeddings, W1))
         A = jnp.einsum("bsd,dk->bsk", H, W2)
         if mask is not None:
@@ -71,7 +76,7 @@ class CapsuleNetwork(nn.Module):
             item_eb_hat = nn.Dense(H * K, use_bias=False, kernel_init=KERNEL_INIT,
                                    name="linear")(item_eb)
         else:  # ComiRec-DR: per-position weight tensor
-            w = self.param("w", UNIFORM_INIT, (1, S, K * H, H))
+            w = self.param("w", TORCH_KAIMING, (1, S, K * H, H))
             item_eb_hat = jnp.sum(w * item_eb[:, :, None, :], axis=3)  # [B,S,K*H]
 
         item_eb_hat = item_eb_hat.reshape(B, S, K, H).transpose(0, 2, 1, 3)  # [B,K,S,H]
