@@ -10,6 +10,10 @@ rec_pangu/trainer.py:75) on a production-shaped synthetic workload
 Baseline: the same model/config in plain PyTorch on CPU (the reference is
 CPU/GPU torch; this image has CPU torch), measured by scripts/baseline_torch.py
 on this machine: 16,883 examples/s.
+
+The step uses the host-planned embedding backward (docs/perf_notes.md §1):
+the batch carries a host-computed sort plan so the embedding gradient is
+dense per-tile MXU matmuls instead of XLA's row-serial scatter.
 """
 import json
 import time
@@ -51,6 +55,11 @@ def main():
     }
 
     model = get_model("DeepFM")(enc_dict=enc_dict, embedding_dim=DIM)
+    # host-side embedding sort plan: the backward becomes permute-gather +
+    # dense MXU tile accumulation instead of XLA's row-serial scatter
+    from rec_pangu_tpu.ops.embedding import attach_emb_plan
+
+    attach_emb_plan(batch, model.spec, DIM)
     tx = make_optimizer(1e-3, steps_per_epoch=1)
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
     train_step = make_train_step(state.batch_stats is not None)

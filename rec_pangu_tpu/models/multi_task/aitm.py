@@ -25,7 +25,7 @@ class AITM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         feat = emb.reshape(emb.shape[0], -1)
 
         tower_click = MLP(self.tower_dims, hidden_activations="relu",

@@ -22,7 +22,7 @@ class ESSM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         hidden = emb.reshape(emb.shape[0], -1)
         click = nn.sigmoid(
             MLP(self.hidden_dim, output_dim=1, hidden_activations="relu",

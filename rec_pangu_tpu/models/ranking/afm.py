@@ -32,7 +32,7 @@ class AFM(RankModelBase):
     @nn.compact
     def __call__(self, batch, train: bool = True):
         lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         pairs = inner_product(emb, "elementwise_product")  # [B, P, D]
         att_h = nn.Dense(self.attention_dim, kernel_init=KERNEL_INIT)(pairs)
         att_score = nn.Dense(1, use_bias=False, kernel_init=KERNEL_INIT)(nn.relu(att_h))

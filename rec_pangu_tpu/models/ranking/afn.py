@@ -26,7 +26,7 @@ class AFN(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])  # [B,F,D]
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))  # [B,F,D]
         # logarithmic net (afn.py:91-102).  torch BatchNorm1d(num_fields) on a
         # [B, F, D] tensor normalizes the FIELD axis; transpose so flax's
         # last-axis BatchNorm matches.
@@ -43,7 +43,7 @@ class AFN(RankModelBase):
             cross.reshape(cross.shape[0], -1), train)
         if self.ensemble_dnn:
             emb2 = FusedEmbedding(self.spec, self.embedding_dim, name="embedding2")(
-                batch["sparse"])
+                batch["sparse"], batch.get("emb_plan"))
             dnn_out = MLP(self.dnn_hidden_units, output_dim=1)(
                 emb2.reshape(emb2.shape[0], -1), train)
             logit = nn.Dense(1, kernel_init=KERNEL_INIT)(

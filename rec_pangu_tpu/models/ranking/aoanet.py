@@ -51,7 +51,7 @@ class AOANet(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         dnn_input = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)
         dnn_out = MLP(self.dnn_hidden_units, output_dim=None)(dnn_input, train)
         bi = emb

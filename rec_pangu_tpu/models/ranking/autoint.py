@@ -26,7 +26,7 @@ class AutoInt(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         att_out = emb
         for _ in range(self.attention_layers):
             att_out = MultiHeadSelfAttention(

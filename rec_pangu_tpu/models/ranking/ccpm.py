@@ -24,7 +24,7 @@ class CCPM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         conv_out = CCPMConvLayer(self.num_sparse, self.channels,
                                  self.kernel_heights)(emb)  # [B, 3, D, C_last]
         logit = nn.Dense(1, kernel_init=KERNEL_INIT)(

@@ -24,7 +24,7 @@ class DCN(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         x0 = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)
         cross_out = CrossNet(self.crossing_layers)(x0)
         y_pred = nn.sigmoid(nn.Dense(1, kernel_init=KERNEL_INIT)(cross_out))

@@ -26,7 +26,7 @@ class DeepFM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])  # [B,F,D]
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))  # [B,F,D]
         fm_logit = inner_product(emb, "product_sum_pooling")  # [B,1]
         dnn_input = jnp.concatenate(
             [emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1

@@ -24,7 +24,7 @@ class FiBiNet(RankModelBase):
     @nn.compact
     def __call__(self, batch, train: bool = True):
         lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         senet_emb = SENETLayer(3)(emb)
         bilinear = BilinearInteraction("field_interaction")
         p = bilinear(emb)

@@ -20,7 +20,7 @@ class FM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         y_pred = nn.sigmoid(inner_product(emb, "product_sum_pooling"))
         out = {"pred": y_pred}
         if train:

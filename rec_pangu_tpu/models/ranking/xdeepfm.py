@@ -24,7 +24,7 @@ class xDeepFM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"])
+        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
         cin_logit = CompressedInteractionNet(self.num_sparse, self.cin_layer_units,
                                              output_dim=1)(emb)

@@ -31,22 +31,66 @@ class FusedEmbedding(nn.Module):
     embedding_dim: int
 
     def setup(self):
+        from .kernels.embedding_grad import padded_rows
+
+        # big tables are padded to a tile multiple so the planned backward
+        # writes the grad at its final shape (pad rows are never indexed)
         self.table = self.param(
-            "table", EMB_INIT, (self.spec.total_rows, self.embedding_dim)
+            "table", EMB_INIT,
+            (padded_rows(self.spec.total_rows), self.embedding_dim)
         )
         self._offsets = jnp.asarray(self.spec.offsets)
 
-    def __call__(self, sparse_ids: jnp.ndarray) -> jnp.ndarray:
-        """[B, F] int ids (per-feature local) -> [B, F, D]."""
-        from .kernels.embedding_grad import fused_gather
+    def __call__(self, sparse_ids: jnp.ndarray,
+                 plan: Optional[dict] = None) -> jnp.ndarray:
+        """[B, F] int ids (per-feature local) -> [B, F, D].
+
+        ``plan`` is the host-computed sort plan for this batch's fused ids
+        (``make_sort_plan(host_fused_ids(spec, sparse), total_rows)``, shipped
+        as ``batch["emb_plan"]``); when present and the table is big enough,
+        the backward skips XLA's row-serial scatter entirely.
+        """
+        from .kernels.embedding_grad import (fused_gather, plan_matches,
+                                             planned_gather, planned_path_ok)
 
         fused_ids = sparse_ids + self._offsets[None, :]
+        if (plan is not None
+                and planned_path_ok(self.spec.total_rows, fused_ids.size,
+                                    self.embedding_dim)
+                and plan_matches(plan, fused_ids.size)):
+            return planned_gather(self.table, fused_ids, plan)
         return fused_gather(self.table, fused_ids)
 
     def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
         """Lookup one feature's sub-table with local ids of any shape."""
         i = self.spec.sparse_names.index(name)
         return jnp.take(self.table, ids + int(self.spec.offsets[i]), axis=0)
+
+
+def host_fused_ids(spec: FeatureSpec, sparse) -> np.ndarray:
+    """Host (numpy) replica of the fused-id computation in __call__."""
+    return (np.asarray(sparse, dtype=np.int64)
+            + np.asarray(spec.offsets, dtype=np.int64)[None, :]).reshape(-1)
+
+
+def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int) -> dict:
+    """Host-side: add ``batch["emb_plan"]`` when the planned backward applies.
+
+    Called by the trainer/bench at batch-prep time; a no-op for small tables,
+    CPU backends, or batches without a ``sparse`` field.
+    """
+    from .kernels.embedding_grad import (make_sort_plan, padded_rows,
+                                         planned_path_ok)
+
+    sparse = batch.get("sparse")
+    if sparse is None or "emb_plan" in batch:
+        return batch
+    n = int(np.prod(sparse.shape))
+    if not planned_path_ok(spec.total_rows, n, embedding_dim):
+        return batch
+    batch["emb_plan"] = make_sort_plan(host_fused_ids(spec, sparse),
+                                       padded_rows(spec.total_rows))
+    return batch
 
 
 class ItemEmbedding(nn.Module):

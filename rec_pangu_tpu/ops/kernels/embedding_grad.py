@@ -37,7 +37,25 @@ CHUNK = 128        # C: sorted entries DMA'd + matmul'd per inner iteration
 # because the default bf16 matmul pass rounds the cotangent rows)
 
 
-def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim):
+def _grad_mode() -> str:
+    """MXU precision mode for the one-hot accumulation.  The one-hot factor
+    is exactly 0/1, so precision only affects how the cotangent rows are fed
+    to the MXU (Mosaic supports only 1-pass DEFAULT and 6-pass HIGHEST):
+
+      split2  — two DEFAULT passes over an error-compensated bf16 hi/lo split
+                of the rows (~1e-5 rel vs f32 scatter, ~2x HIGHEST speed) [default]
+      default — single bf16 pass (~1e-3 rel, fastest)
+      highest — 6-pass (~1e-8 rel, matches f32 scatter numerics)
+
+    Override: REC_PANGU_TPU_EMB_GRAD_PRECISION=split2|default|highest."""
+    import os
+
+    mode = os.environ.get("REC_PANGU_TPU_EMB_GRAD_PRECISION", "split2").lower()
+    return mode if mode in ("split2", "default", "highest") else "split2"
+
+
+def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim,
+                       tile_rows, mode):
     # ids_ref: [M, 128] i32 (flat order = row-major); rows_ref: [M*128, 128]
     # (rows lane-padded to 128 because manual DMA slices need 128-lane shapes)
     t = pl.program_id(0)
@@ -47,7 +65,7 @@ def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim):
     # windows are 128-aligned so the ids chunk is whole [*, 128] rows
     s_aligned = (s // 128) * 128
     span = e - s_aligned
-    row_base = t * TILE_ROWS
+    row_base = t * tile_rows
     sub = CHUNK // 128  # id rows per chunk
 
     def body(scratch_ids, scratch_rows, sem_i, sem_r):
@@ -68,16 +86,33 @@ def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim):
             for r in range(sub):
                 local = scratch_ids[r, :] - row_base          # [128]
                 onehot = (local[:, None] ==
-                          jax.lax.broadcasted_iota(jnp.int32, (128, TILE_ROWS), 1)
+                          jax.lax.broadcasted_iota(jnp.int32, (128, tile_rows), 1)
                           ).astype(jnp.float32)               # [128, R]
                 rows_r = scratch_rows[r * 128 : (r + 1) * 128, :]
-                acc = jax.lax.dot_general(
-                    onehot, rows_r,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [R, 128]; only the first `dim` lanes are real
-                out_ref[:] += acc[:, :dim]
+
+                # transposed accumulation [D, R]: rows^T @ onehot.  The grad
+                # is emitted dim-major so the caller's .T is a layout BITCAST
+                # into the {0,1}(column-major) layout XLA picks for embedding
+                # tables — otherwise the Adam update pays 6 full-table layout
+                # copies (~9 ms/step at 1.6M x 32, see docs/perf_notes.md).
+                def dot_t(lhs, precision):
+                    return jax.lax.dot_general(
+                        lhs, onehot,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )  # [128, R]; only the first `dim` sublanes are real
+
+                if mode == "split2":
+                    hi = rows_r.astype(jnp.bfloat16).astype(jnp.float32)
+                    lo = rows_r - hi
+                    acc = (dot_t(hi, jax.lax.Precision.DEFAULT)
+                           + dot_t(lo, jax.lax.Precision.DEFAULT))
+                elif mode == "default":
+                    acc = dot_t(rows_r, jax.lax.Precision.DEFAULT)
+                else:
+                    acc = dot_t(rows_r, jax.lax.Precision.HIGHEST)
+                out_ref[:] += acc[:dim, :]
             return 0
 
         jax.lax.fori_loop(0, nchunks, chunk_step, 0)
@@ -91,13 +126,65 @@ def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim):
     )
 
 
+def _tile_rows(num_rows: int) -> int:
+    """Largest tile that divides the table exactly — when one exists, the
+    kernel writes the gradient at its final shape with no [:num_rows] slice.
+    ``padded_rows`` (used by FusedEmbedding for big tables) guarantees this."""
+    for t in (2048, 1024, 512, 256, 128):
+        if num_rows % t == 0:
+            return t
+    return TILE_ROWS
+
+
+def padded_rows(total_rows: int) -> int:
+    """Param-table row count: big tables are padded to a tile multiple so the
+    planned backward needs no output slice; the pad rows are never indexed
+    (grad stays 0, Adam leaves them at init)."""
+    if total_rows >= _MIN_TABLE_ROWS:
+        return -(-total_rows // 1024) * 1024
+    return total_rows
+
+
+def _call_accumulate(starts, sorted_ids_p, sorted_rows_p, num_rows: int,
+                     dim: int, mode: str = "highest") -> jnp.ndarray:
+    """Launch the tile-accumulate grid over presorted, padded inputs."""
+    tile = _tile_rows(num_rows)
+    v_pad = ((num_rows + tile - 1) // tile) * tile
+    t_tiles = v_pad // tile
+    if starts.shape[0] != t_tiles + 1:
+        raise ValueError(
+            f"sort plan was built for a different table: starts has "
+            f"{starts.shape[0]} entries, expected {t_tiles + 1} "
+            f"(= {num_rows} rows / tile {tile} + 1); rebuild the plan with "
+            f"make_sort_plan(ids, padded_rows(total_rows))")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted ids [M, 128] in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted rows [M*128, 128] in HBM
+        ],
+        out_specs=pl.BlockSpec((dim, tile), lambda t, starts: (0, t),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_accumulate_kernel, dim=dim, tile_rows=tile,
+                          mode=mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((dim, v_pad), jnp.float32),
+    )(starts, sorted_ids_p, sorted_rows_p)
+    out = out.T  # layout bitcast, not a copy (see kernel comment)
+    return out if v_pad == num_rows else out[:num_rows]
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def sorted_segment_accumulate(flat_ids: jnp.ndarray, rows: jnp.ndarray,
                               num_rows: int) -> jnp.ndarray:
     """Dense [num_rows, D] gradient from (ids [N], cotangent rows [N, D])."""
     n, dim = rows.shape
-    v_pad = ((num_rows + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
-    t_tiles = v_pad // TILE_ROWS
+    tile = _tile_rows(num_rows)
+    v_pad = ((num_rows + tile - 1) // tile) * tile
+    t_tiles = v_pad // tile
 
     order = jnp.argsort(flat_ids)
     sorted_ids = jnp.take(flat_ids, order).astype(jnp.int32)
@@ -106,31 +193,113 @@ def sorted_segment_accumulate(flat_ids: jnp.ndarray, rows: jnp.ndarray,
     # sentinel ids match no tile
     n_pad = ((n + CHUNK - 1) // CHUNK + 1) * CHUNK
     sorted_ids_p = jnp.concatenate(
-        [sorted_ids, jnp.full((n_pad - n,), v_pad + TILE_ROWS, jnp.int32)])
+        [sorted_ids, jnp.full((n_pad - n,), v_pad + tile, jnp.int32)])
     sorted_rows_p = jnp.concatenate(
         [sorted_rows, jnp.zeros((n_pad - n, dim), sorted_rows.dtype)])
     # lane-pad to 128 so in-kernel DMA slices satisfy Mosaic's tiling rules
     sorted_rows_p = jnp.pad(sorted_rows_p, ((0, 0), (0, 128 - dim)))
 
-    boundaries = jnp.arange(t_tiles + 1, dtype=jnp.int32) * TILE_ROWS
+    boundaries = jnp.arange(t_tiles + 1, dtype=jnp.int32) * tile
     starts = jnp.searchsorted(sorted_ids, boundaries).astype(jnp.int32)
+    return _call_accumulate(starts, sorted_ids_p.reshape(-1, 128),
+                            sorted_rows_p, num_rows, dim)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted ids [M, 128] in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted rows [M*128, D] in HBM
-        ],
-        out_specs=pl.BlockSpec((TILE_ROWS, dim), lambda t, starts: (t, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        functools.partial(_accumulate_kernel, dim=dim),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v_pad, dim), jnp.float32),
-    )(starts, sorted_ids_p.reshape(-1, 128), sorted_rows_p)
-    return out[:num_rows]
+
+# ---------------------------------------------------------------------------
+# Host-planned path: the argsort/searchsorted prep above is what made the
+# kernel a net loss inside a full train step (see docs/perf_notes.md §1).
+# ``make_sort_plan`` moves that prep to the HOST at batch-build time — the
+# idiomatic TPU embedding input pipeline (CSR-style preprocessed lookups, as
+# SparseCore feeding does) — so the device backward is one [N,D] permute-
+# gather plus dense per-tile MXU matmuls.  Measured on v5e (exp_planned_grad):
+# DeepFM-shaped step 25.9 ms planned vs 30.7 ms XLA scatter at identical f32
+# numerics (max rel grad err 6e-8).
+# ---------------------------------------------------------------------------
+
+def make_sort_plan(flat_ids, num_rows: int):
+    """Host-side (numpy) sort plan for a batch of fused embedding ids.
+
+    Returns dict of numpy arrays to ship with the batch:
+      perm       [n_pad] i32 — argsort order (padding entries point at row 0;
+                  their sentinel ids match no tile, so the value is ignored)
+      sorted_ids [n_pad/128, 128] i32 — ids in sorted order + sentinel padding
+      starts     [tiles+1] i32 — first sorted position of each vocab tile
+    """
+    import numpy as np
+
+    flat_ids = np.asarray(flat_ids).reshape(-1)
+    n = flat_ids.shape[0]
+    tile = _tile_rows(num_rows)
+    v_pad = -(-num_rows // tile) * tile
+    t_tiles = v_pad // tile
+    order = np.argsort(flat_ids, kind="stable").astype(np.int32)
+    sorted_ids = flat_ids[order].astype(np.int32)
+    starts = np.searchsorted(
+        sorted_ids, np.arange(t_tiles + 1, dtype=np.int64) * tile
+    ).astype(np.int32)
+    n_pad = (-(-n // CHUNK) + 1) * CHUNK
+    sorted_ids_p = np.full((n_pad,), v_pad + tile, np.int32)
+    sorted_ids_p[:n] = sorted_ids
+    perm_p = np.zeros((n_pad,), np.int32)
+    perm_p[:n] = order
+    return {"perm": perm_p, "sorted_ids": sorted_ids_p.reshape(-1, 128),
+            "starts": starts}
+
+
+def presorted_segment_accumulate(plan, rows: jnp.ndarray,
+                                 num_rows: int) -> jnp.ndarray:
+    """Dense [num_rows, D] grad from cotangent rows [N, D] + host sort plan."""
+    dim = rows.shape[-1]
+    # perm is padded: extra entries gather row 0, whose sentinel id matches no
+    # tile — so the padded gather needs no concatenation step.
+    sorted_rows = jnp.take(rows, plan["perm"], axis=0)
+    sorted_rows = jnp.pad(sorted_rows, ((0, 0), (0, 128 - dim)))
+    return _call_accumulate(plan["starts"], plan["sorted_ids"], sorted_rows,
+                            num_rows, dim, mode=_grad_mode())
+
+
+@jax.custom_vjp
+def planned_gather(table: jnp.ndarray, ids: jnp.ndarray, plan) -> jnp.ndarray:
+    """jnp.take whose backward uses a host-computed sort plan (no scatter).
+
+    ``plan`` MUST be ``make_sort_plan(ids.reshape(-1), table.shape[0])`` for
+    exactly these ids — the trainer/bench attach it per batch.
+    """
+    return jnp.take(table, ids, axis=0)
+
+
+def _planned_fwd(table, ids, plan):
+    return jnp.take(table, ids, axis=0), (plan, table.shape[0])
+
+
+def _planned_bwd(res, g):
+    plan, num_rows = res
+    rows = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    grad = presorted_segment_accumulate(plan, rows, num_rows)
+    return grad.astype(g.dtype), None, None
+
+
+planned_gather.defvjp(_planned_fwd, _planned_bwd)
+
+
+def planned_path_ok(num_rows: int, num_lookups: int, dim: int) -> bool:
+    """Trace-time gate for the host-planned backward: TPU backend, a table/
+    batch big enough to beat XLA's scatter, and a kernel-friendly dim."""
+    import os
+
+    if os.environ.get("REC_PANGU_TPU_PLANNED_EMB", "1") not in ("1", "on", "true"):
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    return (num_rows >= _MIN_TABLE_ROWS and num_lookups >= _MIN_LOOKUPS
+            and 8 <= dim <= 128 and dim % 8 == 0)
+
+
+def plan_matches(plan, num_lookups: int) -> bool:
+    """Shape-level consistency check (content is the caller's contract)."""
+    n_pad = (-(-num_lookups // CHUNK) + 1) * CHUNK
+    return (plan is not None and "perm" in plan
+            and plan["perm"].shape == (n_pad,))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

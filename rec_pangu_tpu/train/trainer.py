@@ -88,6 +88,21 @@ class _BaseTrainer:
         spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
         return jax.device_put(batch, NamedSharding(self.mesh, spec))
 
+    def _attach_plan(self, batch):
+        """Host-side embedding sort plan (docs/perf_notes.md §1): skips XLA's
+        row-serial scatter in the embedding backward.  Single-device only —
+        under a mesh the plan would need to be computed per data shard."""
+        if getattr(self, "mesh", None) is not None:
+            return batch
+        model = getattr(self, "model", None)
+        spec = getattr(model, "spec", None)
+        dim = getattr(model, "embedding_dim", None)
+        if spec is None or dim is None:
+            return batch
+        from ..ops.embedding import attach_emb_plan
+
+        return attach_emb_plan(batch, spec, dim)
+
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
                      lr_scheduler_type="", scheduler_params=None, seed=1029,
@@ -261,12 +276,12 @@ class RankTrainer(_BaseTrainer):
         idx = 0
         for batch in train_loader:
             batch, _ = strip_host_keys(batch)
+            batch = self._attach_plan(batch)
             if K > 1:
                 group.append(batch)
                 full = all(g["label"].shape == group[0]["label"].shape for g in group)
                 if len(group) == K and full:
-                    stacked = {key: np.stack([g[key] for g in group])
-                               for key in group[0]}
+                    stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
                     stacked = self._put(stacked, stacked=True)
                     self.state, outs = self._multi_step(self.state, stacked, self._rng)
                     record(outs, stacked["label"], k_axis=True)

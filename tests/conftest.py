@@ -2,17 +2,23 @@
 exercised without TPU hardware (SURVEY.md §4)."""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's axon default — tests run on CPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# REC_PANGU_TPU_TEST_BACKEND=device runs the suite on the real accelerator
+# (exercises the TPU-gated pallas-kernel tests); default pins to CPU.
+_use_device = os.environ.get("REC_PANGU_TPU_TEST_BACKEND", "cpu") == "device"
+
+if not _use_device:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's axon default
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
 # start, which routes every compile through the remote TPU relay (~10s per
 # jit).  Re-pin to cpu before any backend initializes.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _use_device:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pandas as pd

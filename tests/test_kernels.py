@@ -50,3 +50,78 @@ def test_sorted_segment_accumulate_matches_scatter_tpu():
     got = sorted_segment_accumulate(ids, rows, V)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Host-planned backward (make_sort_plan + planned_gather)
+# ---------------------------------------------------------------------------
+from rec_pangu_tpu.ops.kernels.embedding_grad import (  # noqa: E402
+    CHUNK,
+    _tile_rows,
+    make_sort_plan,
+    padded_rows,
+    planned_gather,
+)
+
+
+def test_make_sort_plan_invariants():
+    rng = np.random.default_rng(3)
+    num_rows = padded_rows(70_000)
+    ids = rng.integers(0, 70_000, 5_000).astype(np.int32)
+    plan = make_sort_plan(ids, num_rows)
+    n = ids.shape[0]
+    sorted_flat = plan["sorted_ids"].reshape(-1)
+    # perm applies: ids[perm[:n]] is sorted and equals sorted_ids[:n]
+    np.testing.assert_array_equal(ids[plan["perm"][:n]], sorted_flat[:n])
+    assert (np.diff(sorted_flat[:n]) >= 0).all()
+    # padding entries are sentinels beyond every tile
+    assert (sorted_flat[n:] >= num_rows).all()
+    # starts bracket each tile's id range
+    tile = _tile_rows(num_rows)
+    t = num_rows // tile
+    assert plan["starts"].shape == (t + 1,)
+    assert plan["starts"][0] == 0 and plan["starts"][-1] == n
+    # padded length is a CHUNK multiple plus one spare chunk
+    assert plan["perm"].shape[0] == (-(-n // CHUNK) + 1) * CHUNK
+
+
+def test_padded_rows():
+    assert padded_rows(100) == 100          # small tables untouched
+    big = 1_600_016
+    assert padded_rows(big) % 1024 == 0 and padded_rows(big) >= big
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pallas TPU kernel needs a TPU backend")
+def test_planned_gather_grad_matches_take_tpu():
+    rng = np.random.default_rng(4)
+    V, D, N = 131_072, 32, 9_216  # V divisible by 2048 -> no output slice
+    ids_np = rng.integers(0, V, N).astype(np.int32)
+    plan = {k: jnp.asarray(v) for k, v in make_sort_plan(ids_np, V).items()}
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    ids = jnp.asarray(ids_np)
+    co = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(planned_gather(table, ids, plan)),
+        np.asarray(jnp.take(table, ids, axis=0)))
+
+    g_ref = jax.grad(lambda t: jnp.vdot(jnp.take(t, ids, axis=0), co))(table)
+    g_plan = jax.grad(lambda t: jnp.vdot(planned_gather(t, ids, plan), co))(table)
+    # default split2 mode: two error-compensated bf16 passes, ~1e-5 rel
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_plan), np.asarray(g_ref),
+                               atol=5e-5 * scale)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pallas TPU kernel needs a TPU backend")
+def test_planned_gather_rejects_mismatched_plan():
+    rng = np.random.default_rng(5)
+    V, N = 131_072, 9_216
+    ids_np = rng.integers(0, V, N).astype(np.int32)
+    plan = {k: jnp.asarray(v) for k, v in make_sort_plan(ids_np, 65_536).items()}
+    table = jnp.asarray(rng.standard_normal((V, 32)), jnp.float32)
+    ids = jnp.asarray(ids_np)
+    with pytest.raises(ValueError, match="different table"):
+        jax.grad(lambda t: jnp.sum(planned_gather(t, ids, plan)))(table)
