@@ -57,7 +57,7 @@ class FusedEmbedding(nn.Module):
         if (plan is not None
                 and planned_path_ok(self.spec.total_rows, fused_ids.size,
                                     self.embedding_dim)
-                and plan_matches(plan, fused_ids.size)):
+                and plan_matches(plan, fused_ids.size, self.table.shape[0])):
             return planned_gather(self.table, fused_ids, plan)
         return fused_gather(self.table, fused_ids)
 

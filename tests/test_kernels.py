@@ -60,6 +60,7 @@ from rec_pangu_tpu.ops.kernels.embedding_grad import (  # noqa: E402
     _tile_rows,
     make_sort_plan,
     padded_rows,
+    plan_chunks,
     planned_gather,
 )
 
@@ -67,22 +68,32 @@ from rec_pangu_tpu.ops.kernels.embedding_grad import (  # noqa: E402
 def test_make_sort_plan_invariants():
     rng = np.random.default_rng(3)
     num_rows = padded_rows(70_000)
-    ids = rng.integers(0, 70_000, 5_000).astype(np.int32)
+    n = 5_000
+    ids = rng.integers(0, 70_000, n).astype(np.int32)
     plan = make_sort_plan(ids, num_rows)
-    n = ids.shape[0]
-    sorted_flat = plan["sorted_ids"].reshape(-1)
-    # perm applies: ids[perm[:n]] is sorted and equals sorted_ids[:n]
-    np.testing.assert_array_equal(ids[plan["perm"][:n]], sorted_flat[:n])
-    assert (np.diff(sorted_flat[:n]) >= 0).all()
-    # padding entries are sentinels beyond every tile
-    assert (sorted_flat[n:] >= num_rows).all()
-    # starts bracket each tile's id range
+    K = plan_chunks(n, num_rows)
+    assert plan["meta"].shape == (K,)
+    assert plan["sorted_ids"].shape == (K, CHUNK)
+    assert plan["perm"].shape == (K * CHUNK,)
     tile = _tile_rows(num_rows)
     t = num_rows // tile
-    assert plan["starts"].shape == (t + 1,)
-    assert plan["starts"][0] == 0 and plan["starts"][-1] == n
-    # padded length is a CHUNK multiple plus one spare chunk
-    assert plan["perm"].shape[0] == (-(-n // CHUNK) + 1) * CHUNK
+    meta = plan["meta"].astype(np.int64)
+    tiles_, first, real = meta >> 2, (meta >> 1) & 1, meta & 1
+    # exactly one zero-init chunk per output tile; tiles in ascending order
+    assert first.sum() == t
+    assert (np.diff(tiles_) >= 0).all()
+    # real slots carry exactly the input ids, sorted, in their chunk's tile
+    flat = plan["sorted_ids"].reshape(-1)
+    real_slots = flat < num_rows
+    assert real_slots.sum() == n
+    np.testing.assert_array_equal(np.sort(ids), np.sort(flat[real_slots]))
+    np.testing.assert_array_equal(ids[plan["perm"][real_slots]],
+                                  flat[real_slots])
+    chunk_of = np.repeat(np.arange(K), CHUNK)
+    assert (flat[real_slots] // tile == tiles_[chunk_of[real_slots]]).all()
+    # chunks flagged real actually contain entries; sentinel chunks do not
+    has_entry = real_slots.reshape(K, CHUNK).any(axis=1)
+    np.testing.assert_array_equal(real.astype(bool), has_entry)
 
 
 def test_padded_rows():
@@ -102,9 +113,11 @@ def test_planned_gather_grad_matches_take_tpu():
     ids = jnp.asarray(ids_np)
     co = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
 
-    np.testing.assert_array_equal(
-        np.asarray(planned_gather(table, ids, plan)),
-        np.asarray(jnp.take(table, ids, axis=0)))
+    # at this density the forward takes the scan-select path (split2 mode:
+    # two error-compensated bf16 passes), so compare with its ~1e-5 tolerance
+    f_ref = np.asarray(jnp.take(table, ids, axis=0))
+    f_plan = np.asarray(planned_gather(table, ids, plan))
+    np.testing.assert_allclose(f_plan, f_ref, atol=5e-5 * np.abs(f_ref).max())
 
     g_ref = jax.grad(lambda t: jnp.vdot(jnp.take(t, ids, axis=0), co))(table)
     g_plan = jax.grad(lambda t: jnp.vdot(planned_gather(t, ids, plan), co))(table)
@@ -120,8 +133,15 @@ def test_planned_gather_rejects_mismatched_plan():
     rng = np.random.default_rng(5)
     V, N = 131_072, 9_216
     ids_np = rng.integers(0, V, N).astype(np.int32)
-    plan = {k: jnp.asarray(v) for k, v in make_sort_plan(ids_np, 65_536).items()}
+    # plan built for a smaller batch: chunk count no longer matches
+    plan = {k: jnp.asarray(v)
+            for k, v in make_sort_plan(ids_np[:2_048], V).items()}
     table = jnp.asarray(rng.standard_normal((V, 32)), jnp.float32)
     ids = jnp.asarray(ids_np)
     with pytest.raises(ValueError, match="different table"):
         jax.grad(lambda t: jnp.sum(planned_gather(t, ids, plan)))(table)
+
+
+def test_make_sort_plan_rejects_out_of_range_ids():
+    with pytest.raises(ValueError, match="out of range"):
+        make_sort_plan(np.array([70_001]), 70_000)
