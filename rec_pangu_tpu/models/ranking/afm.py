@@ -31,7 +31,7 @@ class AFM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         pairs = inner_product(emb, "elementwise_product")  # [B, P, D]
         att_h = nn.Dense(self.attention_dim, kernel_init=KERNEL_INIT)(pairs)

@@ -36,7 +36,7 @@ class AutoInt(RankModelBase):
             att_out.reshape(att_out.shape[0], -1))
         dnn_input = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)
         logit += MLP(self.dnn_hidden_units, output_dim=1)(dnn_input, train)
-        logit += LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        logit += LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         y_pred = nn.sigmoid(logit)
         out = {"pred": y_pred}
         if train:

@@ -23,7 +23,7 @@ class FiBiNet(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         senet_emb = SENETLayer(3)(emb)
         bilinear = BilinearInteraction("field_interaction")

@@ -17,7 +17,7 @@ class LR(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        logit = LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         y_pred = nn.sigmoid(logit)
         out = {"pred": y_pred}
         if train:

@@ -22,7 +22,7 @@ class NFM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         bi_pooling = inner_product(emb, "Bi_interaction_pooling")  # [B, D]
         dnn_logit = MLP(self.hidden_units, output_dim=1, hidden_activations="relu",

@@ -21,7 +21,7 @@ class WDL(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        wide_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        wide_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
         dnn_input = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)
         deep_logit = MLP(self.hidden_units, output_dim=1, hidden_activations="relu",

@@ -25,7 +25,7 @@ class xDeepFM(RankModelBase):
     @nn.compact
     def __call__(self, batch, train: bool = True):
         emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
-        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"])
+        lr_logit = LRLayer(self.spec)(batch["sparse"], batch["dense"], batch.get("emb_plan"))
         cin_logit = CompressedInteractionNet(self.num_sparse, self.cin_layer_units,
                                              output_dim=1)(emb)
         dnn_input = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)

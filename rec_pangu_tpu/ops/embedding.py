@@ -123,7 +123,8 @@ class LRLayer(nn.Module):
     spec: FeatureSpec
 
     @nn.compact
-    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray) -> jnp.ndarray:
-        emb = FusedEmbedding(self.spec, 1)(sparse_ids)[..., 0]  # [B, F]
+    def __call__(self, sparse_ids: jnp.ndarray, dense: jnp.ndarray,
+                 plan: Optional[dict] = None) -> jnp.ndarray:
+        emb = FusedEmbedding(self.spec, 1)(sparse_ids, plan)[..., 0]  # [B, F]
         x = jnp.concatenate([emb, dense], axis=1)
         return nn.Dense(1, kernel_init=EMB_INIT)(x)

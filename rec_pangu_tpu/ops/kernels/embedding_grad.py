@@ -341,6 +341,7 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
                                  num_rows: int) -> jnp.ndarray:
     """Dense [num_rows, D] grad from cotangent rows [N, D] + host sort plan."""
     n, dim = rows.shape
+    kdim = max(dim, 8)  # kernel lane floor; extra lanes are zero padding
     tile = _tile_rows(num_rows)
     v_pad = -(-num_rows // tile) * tile
     k_chunks = plan["meta"].shape[0]
@@ -363,17 +364,19 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
             pl.BlockSpec((CHUNK, 128), lambda k, meta: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((dim, tile), lambda k, meta: (0, meta[k] >> 2),
+        out_specs=pl.BlockSpec((kdim, tile), lambda k, meta: (0, meta[k] >> 2),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_chunk_kernel, dim=dim, tile_rows=tile,
+        functools.partial(_chunk_kernel, dim=kdim, tile_rows=tile,
                           mode=_grad_mode()),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((dim, v_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kdim, v_pad), jnp.float32),
     )(plan["meta"], plan["sorted_ids"], sorted_rows)
     out = out.T  # layout bitcast into the tables' column-major layout
-    return out if v_pad == num_rows else out[:num_rows]
+    if v_pad != num_rows:
+        out = out[:num_rows]
+    return out if kdim == dim else out[:, :dim]
 
 
 def _select_kernel(meta_ref, ids_ref, table_ref, out_ref, *, dim, tile_rows,
@@ -460,6 +463,7 @@ def _scan_fwd_ok(table, ids, plan) -> bool:
     if os.environ.get("REC_PANGU_TPU_PLANNED_FWD", "1") not in ("1", "on", "true"):
         return False
     return ("inv_perm" in plan
+            and table.shape[1] >= 8  # sub-tile dims stay on the plain gather
             and ids.size * _SCAN_FWD_DENSITY >= table.shape[0])
 
 
@@ -510,7 +514,7 @@ def planned_path_ok(num_rows: int, num_lookups: int, dim: int) -> bool:
     if jax.default_backend() == "cpu":
         return False
     return (num_rows >= _MIN_TABLE_ROWS and num_lookups >= _MIN_LOOKUPS
-            and 8 <= dim <= 128 and dim % 8 == 0)
+            and dim <= 128 and (dim < 8 or dim % 8 == 0))
 
 
 def plan_matches(plan, num_lookups: int, num_rows: int) -> bool:
