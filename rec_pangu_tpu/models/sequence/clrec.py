@@ -20,7 +20,7 @@ class CLRec(SequenceModelBase):
 
     def __call__(self, batch, train: bool = True):
         lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         user_emb = self.encoder(seq_emb, lengths, train)
         out = {"user_emb": user_emb}
         if train:

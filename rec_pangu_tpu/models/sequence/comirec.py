@@ -30,7 +30,7 @@ class ComirecSA(SequenceModelBase):
             num_interests=int(self.config["K"]))
 
     def __call__(self, batch, train: bool = True):
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         mask = batch["hist_mask_list"][..., None]
         multi_interest_emb = self.multi_interest_sa(seq_emb, mask)  # [B,K,D]
         out = {"user_emb": multi_interest_emb}
@@ -51,7 +51,7 @@ class ComirecDR(SequenceModelBase):
                                       interest_num=int(self.config["K"]))
 
     def __call__(self, batch, train: bool = True):
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         mask = batch["hist_mask_list"]
         multi_interest_emb = self.capsule(seq_emb, mask)
         out = {"user_emb": multi_interest_emb}

@@ -76,7 +76,7 @@ class ContraRec(SequenceModelBase):
     def __call__(self, batch, train: bool = True):
         item_seq = batch["hist_item_list"]
         lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
-        seq_emb = self.item_emb(item_seq)
+        seq_emb = self.item_emb(item_seq, batch.get("emb_plan"))
         user_emb = self._encode(seq_emb, lengths, train)
         out = {"user_emb": user_emb}
         if train:

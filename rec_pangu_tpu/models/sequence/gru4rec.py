@@ -14,7 +14,7 @@ class GRU4Rec(SequenceModelBase):
         self.gru = GRU4RecEncoder(self.embedding_dim, num_layers=2)
 
     def __call__(self, batch, train: bool = True):
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
         user_emb = self.gru(seq_emb, lengths)
         out = {"user_emb": user_emb}

@@ -16,7 +16,7 @@ class MIND(SequenceModelBase):
                                       interest_num=int(self.config["K"]))
 
     def __call__(self, batch, train: bool = True):
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         mask = batch["hist_mask_list"]
         multi_interest_emb = self.capsule(seq_emb, mask)
         out = {"user_emb": multi_interest_emb}

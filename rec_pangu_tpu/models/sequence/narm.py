@@ -27,7 +27,7 @@ class NARM(SequenceModelBase):
     def __call__(self, batch, train: bool = True):
         item_seq = batch["hist_item_list"]
         lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
-        seq_emb = self.item_emb(item_seq)
+        seq_emb = self.item_emb(item_seq, batch.get("emb_plan"))
         seq_emb = self.emb_dropout(seq_emb, deterministic=not train)
         # reference runs an UNPACKED GRU (padding steps processed, narm.py:47)
         gru_out, _ = self.gru(seq_emb)

@@ -50,7 +50,7 @@ class Re4(SequenceModelBase):
         pad = (1.0 - mask).astype(bool)           # True at padding
         B, L = item_seq.shape
         K, D = self.K, self.embedding_dim
-        seq_emb = self.item_emb(item_seq)         # [B, L, D]
+        seq_emb = self.item_emb(item_seq, batch.get("emb_plan"))  # [B, L, D]
 
         # interest proposals (re4.py:64-68)
         logits = jnp.einsum("kr,rd,bld->bkl", self.W1_2, self.W1, seq_emb)

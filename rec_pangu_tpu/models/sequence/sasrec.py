@@ -26,7 +26,7 @@ class SASRec(SequenceModelBase):
     def __call__(self, batch, train: bool = True):
         mask = batch["hist_mask_list"]
         lengths = jnp.sum(mask, axis=-1).astype(jnp.int32)
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         attn_mask = self.get_attention_mask(mask.astype(seq_emb.dtype))
         output = self.self_attention(seq_emb, attn_mask, train)
         user_emb = self.gather_indexes(output, jnp.clip(lengths - 1, 0, None))

@@ -46,7 +46,7 @@ class SINE(SequenceModelBase):
 
     def __call__(self, batch, train: bool = True):
         D, k = self.embedding_dim, self.k
-        x_u = self.item_emb(batch["hist_item_list"])  # [B, N, D]
+        x_u = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))  # [B, N, D]
 
         # concept activation (sine.py:63-77)
         a = nn.softmax(jnp.tanh(x_u @ self.w1) @ self.w2, axis=1)     # [B, N]

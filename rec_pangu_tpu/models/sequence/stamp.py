@@ -16,7 +16,7 @@ class STAMP(SequenceModelBase):
 
     def __call__(self, batch, train: bool = True):
         lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
-        seq_emb = self.item_emb(batch["hist_item_list"])
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         user_emb = self.stamp_layer(seq_emb, lengths, train)
         out = {"user_emb": user_emb}
         if train:

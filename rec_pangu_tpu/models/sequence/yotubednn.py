@@ -13,7 +13,7 @@ class YotubeDNN(SequenceModelBase):
         self.setup_base()
 
     def __call__(self, batch, train: bool = True):
-        seq_emb = self.item_emb(batch["hist_item_list"])  # [B,L,D]
+        seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))  # [B,L,D]
         mask = batch["hist_mask_list"][..., None].astype(seq_emb.dtype)
         user_emb = jnp.mean(seq_emb * mask, axis=1)
         out = {"user_emb": user_emb}

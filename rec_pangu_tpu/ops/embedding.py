@@ -100,20 +100,52 @@ class ItemEmbedding(nn.Module):
     embedding_dim: int
 
     def setup(self):
+        from .kernels.embedding_grad import padded_rows
+
+        # big vocabularies are padded like FusedEmbedding (pad rows are never
+        # indexed and all_items slices them away)
         self.table = self.param(
-            "table", EMB_INIT, (self.vocab_size, self.embedding_dim)
+            "table", EMB_INIT,
+            (padded_rows(self.vocab_size), self.embedding_dim)
         )
 
     def all_items(self) -> jnp.ndarray:
         """Full table with row 0 zeroed (parity: item_emb.weight with padding_idx=0)."""
         row_ids = jnp.arange(self.vocab_size)[:, None]
-        return self.table * (row_ids != 0)
+        return self.table[: self.vocab_size] * (row_ids != 0)
 
-    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        from .kernels.embedding_grad import fused_gather
+    def __call__(self, ids: jnp.ndarray,
+                 plan: Optional[dict] = None) -> jnp.ndarray:
+        """Lookup with optional host sort plan (``batch["emb_plan"]``): the
+        trainer attaches one for the hist-list lookup so the backward skips
+        XLA's row-serial scatter (the mask's backward composes on top)."""
+        from .kernels.embedding_grad import (fused_gather, plan_matches,
+                                             planned_gather, planned_path_ok)
 
-        emb = fused_gather(self.table, ids)
+        if (plan is not None
+                and planned_path_ok(self.vocab_size, ids.size,
+                                    self.embedding_dim)
+                and plan_matches(plan, ids.size, self.table.shape[0])):
+            emb = planned_gather(self.table, ids, plan)
+        else:
+            emb = fused_gather(self.table, ids)
         return emb * (ids != 0)[..., None]
+
+
+def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int) -> dict:
+    """Host-side: sort plan for the sequence hist-item lookup."""
+    from .kernels.embedding_grad import (make_sort_plan, padded_rows,
+                                         planned_path_ok)
+
+    hist = batch.get("hist_item_list")
+    if hist is None or "emb_plan" in batch:
+        return batch
+    n = int(np.prod(hist.shape))
+    if not planned_path_ok(vocab_size, n, embedding_dim):
+        return batch
+    batch["emb_plan"] = make_sort_plan(
+        np.asarray(hist, dtype=np.int64).reshape(-1), padded_rows(vocab_size))
+    return batch
 
 
 class LRLayer(nn.Module):

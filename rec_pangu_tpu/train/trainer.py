@@ -95,6 +95,21 @@ class _BaseTrainer:
         if getattr(self, "mesh", None) is not None:
             return batch
         model = getattr(self, "model", None)
+        if model is None:
+            return batch
+        if "hist_item_list" in batch:  # sequence-recall batch
+            cfg = getattr(model, "config", None)
+            enc = getattr(model, "enc_dict", None)
+            if not cfg or enc is None:
+                return batch
+            item_col = cfg.get("item_col", "item_id")
+            if item_col not in enc:
+                return batch
+            from ..models.base import OOV_SENTINEL
+            from ..ops.embedding import attach_item_plan
+
+            return attach_item_plan(batch, int(enc[item_col][OOV_SENTINEL]),
+                                    int(cfg["embedding_dim"]))
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
@@ -399,6 +414,7 @@ class SequenceTrainer(_BaseTrainer):
             max_iter = len(train_loader)
             for idx, batch in enumerate(train_loader):
                 batch, _ = strip_host_keys(batch)
+                batch = self._attach_plan(batch)
                 batch = self._put(batch)
                 self.state, out = self._train_step(self.state, batch, self._rng)
                 if idx % log_rounds == 0:
