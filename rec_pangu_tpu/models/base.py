@@ -118,12 +118,11 @@ class SequenceModelBase(nn.Module):
         if self.config.get("loss_type", "full") == "sampled":
             return self.calculate_sampled_loss(
                 user_emb, pos_item, int(self.config.get("num_negatives", 1024)))
-        all_items = self.output_items()
-        scores = jnp.dot(user_emb, all_items.T, preferred_element_type=jnp.float32)
-        logprobs = jax.nn.log_softmax(scores, axis=-1)
-        pos = pos_item.reshape(-1)
-        nll = -jnp.take_along_axis(logprobs, pos[:, None], axis=1)[:, 0]
-        return jnp.mean(nll)
+        from ..ops.softmax_ce import full_softmax_ce
+
+        # streams the [B, V] logits chunk-wise for big vocabularies instead
+        # of materializing them (ops/softmax_ce.py); naive below the threshold
+        return full_softmax_ce(user_emb, self.output_items(), pos_item)
 
     def calculate_sampled_loss(self, user_emb: jnp.ndarray, pos_item: jnp.ndarray,
                                num_negatives: int = 1024) -> jnp.ndarray:

@@ -145,3 +145,33 @@ def test_planned_gather_rejects_mismatched_plan():
 def test_make_sort_plan_rejects_out_of_range_ids():
     with pytest.raises(ValueError, match="out of range"):
         make_sort_plan(np.array([70_001]), 70_000)
+
+
+# ---------------------------------------------------------------------------
+# Fused (streaming) full-softmax CE
+# ---------------------------------------------------------------------------
+def test_fused_softmax_ce_matches_naive():
+    from rec_pangu_tpu.ops.softmax_ce import fused_softmax_ce
+
+    rng = np.random.default_rng(6)
+    B, V, D = 32, 10_000, 16  # V not a CHUNK_V multiple: exercises padding
+    user = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    items = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, V, (B,)), jnp.int32)
+
+    def naive(u, it):
+        scores = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
+        lp = jax.nn.log_softmax(scores, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(lp, pos[:, None], axis=1)[:, 0])
+
+    l1 = naive(user, items)
+    l2 = fused_softmax_ce(user, items, pos)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+
+    g1u, g1i = jax.grad(naive, argnums=(0, 1))(user, items)
+    g2u, g2i = jax.grad(
+        lambda u, it: fused_softmax_ce(u, it, pos), argnums=(0, 1))(user, items)
+    np.testing.assert_allclose(np.asarray(g1u), np.asarray(g2u),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1i), np.asarray(g2i),
+                               rtol=1e-4, atol=1e-6)
