@@ -112,7 +112,7 @@ def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim,
                     acc = dot_t(rows_r, jax.lax.Precision.DEFAULT)
                 else:
                     acc = dot_t(rows_r, jax.lax.Precision.HIGHEST)
-                out_ref[:] += acc[:dim, :]
+                out_ref[:] += acc[:dim, :]  # rows here are lane-padded to 128
             return 0
 
         jax.lax.fori_loop(0, nchunks, chunk_step, 0)
@@ -313,7 +313,7 @@ def _chunk_kernel(meta_ref, ids_ref, rows_ref, out_ref, *, dim, tile_rows,
         onehot = (local[:, None] ==
                   jax.lax.broadcasted_iota(jnp.int32, (CHUNK, tile_rows), 1)
                   ).astype(jnp.float32)               # [128, R]
-        rows_r = rows_ref[:, :]                       # [128, 128]
+        rows_r = rows_ref[:, :]                       # [128, D]
 
         # transposed accumulation [D, R] = rows^T @ onehot; see the layout
         # comment in _accumulate_kernel (the .T downstream is a bitcast)
@@ -334,14 +334,13 @@ def _chunk_kernel(meta_ref, ids_ref, rows_ref, out_ref, *, dim, tile_rows,
             acc = dot_t(rows_r, jax.lax.Precision.DEFAULT)
         else:
             acc = dot_t(rows_r, jax.lax.Precision.HIGHEST)
-        out_ref[:] += acc[:dim, :]
+        out_ref[:] += acc  # already [D, R]: rows arrive at their true width
 
 
 def presorted_segment_accumulate(plan, rows: jnp.ndarray,
                                  num_rows: int) -> jnp.ndarray:
     """Dense [num_rows, D] grad from cotangent rows [N, D] + host sort plan."""
     n, dim = rows.shape
-    kdim = max(dim, 8)  # kernel lane floor; extra lanes are zero padding
     tile = _tile_rows(num_rows)
     v_pad = -(-num_rows // tile) * tile
     k_chunks = plan["meta"].shape[0]
@@ -352,31 +351,29 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
             f"chunks, expected {expected} for {n} lookups into {num_rows} "
             f"rows; rebuild with make_sort_plan(ids, padded_rows(total_rows))")
     # perm is padded: padding slots gather row 0, whose sentinel id matches no
-    # one-hot column — so the padded gather needs no concatenation step.
+    # one-hot column — so the padded gather needs no concatenation step.  The
+    # rows block is (CHUNK, dim) — full-array minor dims need no lane pad.
     sorted_rows = jnp.take(rows, plan["perm"], axis=0)
-    sorted_rows = jnp.pad(sorted_rows, ((0, 0), (0, 128 - dim)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k_chunks,),
         in_specs=[
             pl.BlockSpec((8, CHUNK), lambda k, meta: (k // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, 128), lambda k, meta: (k, 0),
+            pl.BlockSpec((CHUNK, dim), lambda k, meta: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kdim, tile), lambda k, meta: (0, meta[k] >> 2),
+        out_specs=pl.BlockSpec((dim, tile), lambda k, meta: (0, meta[k] >> 2),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_chunk_kernel, dim=kdim, tile_rows=tile,
+        functools.partial(_chunk_kernel, dim=dim, tile_rows=tile,
                           mode=_grad_mode()),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kdim, v_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dim, v_pad), jnp.float32),
     )(plan["meta"], plan["sorted_ids"], sorted_rows)
     out = out.T  # layout bitcast into the tables' column-major layout
-    if v_pad != num_rows:
-        out = out[:num_rows]
-    return out if kdim == dim else out[:, :dim]
+    return out if v_pad == num_rows else out[:num_rows]
 
 
 def _select_kernel(meta_ref, ids_ref, table_ref, out_ref, *, dim, tile_rows,

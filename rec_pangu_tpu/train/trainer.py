@@ -344,6 +344,7 @@ class RankTrainer(_BaseTrainer):
         preds, labels = [], []
         for batch in test_loader:
             batch, _ = strip_host_keys(batch)
+            batch = self._attach_plan(batch)  # scan-select forward at eval too
             batch = self._put(batch)
             out = self._eval_step(self.state, batch)
             if self.num_task == 1:
@@ -364,6 +365,7 @@ class RankTrainer(_BaseTrainer):
         preds = []
         for batch in test_loader:
             batch, _ = strip_host_keys(batch)
+            batch = self._attach_plan(batch)
             out = self._eval_step(self.state, batch)
             if self.num_task == 1:
                 preds.append(np.asarray(out["pred"]).reshape(-1))
