@@ -82,14 +82,20 @@ def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int) -> dict:
     from .kernels.embedding_grad import (make_sort_plan, padded_rows,
                                          planned_path_ok)
 
+    import os
+
     sparse = batch.get("sparse")
     if sparse is None or "emb_plan" in batch:
         return batch
     n = int(np.prod(sparse.shape))
     if not planned_path_ok(spec.total_rows, n, embedding_dim):
         return batch
+    # compact plans ship a third less data per batch at ~3 ms/step device
+    # cost — for hosts whose device link, not the chip, is the bottleneck
+    compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
     batch["emb_plan"] = make_sort_plan(host_fused_ids(spec, sparse),
-                                       padded_rows(spec.total_rows))
+                                       padded_rows(spec.total_rows),
+                                       compact=compact)
     return batch
 
 
@@ -137,14 +143,18 @@ def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int) -> dict:
     from .kernels.embedding_grad import (make_sort_plan, padded_rows,
                                          planned_path_ok)
 
+    import os
+
     hist = batch.get("hist_item_list")
     if hist is None or "emb_plan" in batch:
         return batch
     n = int(np.prod(hist.shape))
     if not planned_path_ok(vocab_size, n, embedding_dim):
         return batch
+    compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
     batch["emb_plan"] = make_sort_plan(
-        np.asarray(hist, dtype=np.int64).reshape(-1), padded_rows(vocab_size))
+        np.asarray(hist, dtype=np.int64).reshape(-1), padded_rows(vocab_size),
+        compact=compact)
     return batch
 
 

@@ -225,7 +225,52 @@ def plan_chunks(num_lookups: int, num_rows: int) -> int:
     return -(-k // 8) * 8  # ids are fetched in (8, 128) blocks
 
 
-def make_sort_plan(flat_ids, num_rows: int):
+def _native_sort_plan(flat_ids, num_rows: int, compact: bool = False):
+    """C++ two-pass counting-sort plan builder (~0.5 ms for 131k ids vs
+    ~12 ms for the numpy argsort path).  Returns None when the native lib is
+    unavailable; entry order within a tile differs from the numpy path —
+    irrelevant to the kernels, which match exact ids."""
+    import ctypes
+
+    import numpy as np
+
+    from ...native.build import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "build_sort_plan"):
+        return None
+    ids64 = np.ascontiguousarray(flat_ids, dtype=np.int64).reshape(-1)
+    n = ids64.shape[0]
+    tile = _tile_rows(num_rows)
+    v_pad = -(-num_rows // tile) * tile
+    t_tiles = v_pad // tile
+    if tile & (tile - 1):
+        return None  # native path needs a power-of-two tile
+    k = plan_chunks(n, num_rows)
+    meta = np.empty((k,), np.int32)
+    ids_stream = np.empty((k * CHUNK,), np.int32)
+    perm = np.empty((k * CHUNK,), np.int32)
+    inv_perm = np.empty((max(n, 1),), np.int32)
+    counts = np.empty((t_tiles,), np.int64)
+    base = np.empty((t_tiles + 1,), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.build_sort_plan(
+        ids64.ctypes.data_as(i64p), n, num_rows, tile, CHUNK, k,
+        meta.ctypes.data_as(i32p), ids_stream.ctypes.data_as(i32p),
+        perm.ctypes.data_as(i32p), inv_perm.ctypes.data_as(i32p),
+        counts.ctypes.data_as(i64p), base.ctypes.data_as(i64p))
+    if rc != 0:
+        raise ValueError(
+            f"id out of range for a {num_rows}-row table — build the plan "
+            f"with padded_rows(total_rows)")
+    plan = {"meta": meta, "perm": perm, "inv_perm": inv_perm[:n]}
+    if not compact:
+        plan["sorted_ids"] = ids_stream.reshape(k, CHUNK)
+    return plan
+
+
+def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
     """Host-side (numpy) sort plan for a batch of fused embedding ids.
 
     Entries are argsorted and laid out as a stream of 128-entry CHUNKS, padded
@@ -238,15 +283,21 @@ def make_sort_plan(flat_ids, num_rows: int):
                   | real.  ``first`` marks the tile's first chunk (kernel
                   zero-initializes the tile); ``real`` gates the matmul so the
                   all-sentinel padding chunks cost nothing.
-      sorted_ids [K, 128] i32 — chunk-major sorted ids; padding slots hold an
-                  out-of-range sentinel that matches no one-hot column.
-      perm       [K*128] i32 — argsort order per slot (padding slots point at
-                  row 0; harmless because their ids are sentinels).
+      sorted_ids [K, 128] i32 — per-slot ids (sentinel in padding slots).
+                  With ``compact=True`` this is omitted and the device
+                  rebuilds it from perm (``stream_ids``) — a third less
+                  host->device traffic at ~3 ms/step device cost (the rebuild
+                  is a latency-bound 1-D gather); use it only when the
+                  host->device link, not the chip, is the bottleneck.
+      perm       [K*128] i32 — source index per slot; padding slots hold -1.
       inv_perm   [n] i32 — original position -> stream slot, for the
                   scan-select forward's un-permute.
     """
     import numpy as np
 
+    native = _native_sort_plan(flat_ids, num_rows, compact)
+    if native is not None:
+        return native
     flat_ids = np.asarray(flat_ids).reshape(-1)
     n = flat_ids.shape[0]
     if n and int(flat_ids.max()) >= num_rows:
@@ -267,15 +318,12 @@ def make_sort_plan(flat_ids, num_rows: int):
     K = plan_chunks(n, num_rows)
     assert used <= K, (used, K)
 
-    sentinel = v_pad + tile
-    ids_stream = np.full((K * CHUNK,), sentinel, np.int32)
-    perm_stream = np.zeros((K * CHUNK,), np.int32)
+    perm_stream = np.full((K * CHUNK,), -1, np.int32)
     inv_perm = np.zeros((n,), np.int32)
     if n:
         tile_of = sorted_ids // tile
         rank = np.arange(n, dtype=np.int64) - starts[tile_of]
         dest = base[tile_of] * CHUNK + rank
-        ids_stream[dest] = sorted_ids
         perm_stream[dest] = order
         inv_perm[order] = dest  # original position -> its stream slot
 
@@ -288,10 +336,28 @@ def make_sort_plan(flat_ids, num_rows: int):
     local_c = np.arange(used, dtype=np.int64) - base[tile_per_chunk]
     real[:used] = local_c * CHUNK < n_t[tile_per_chunk]
     meta = (chunk_tile << 2) | (first << 1) | real
-    return {"meta": meta.astype(np.int32),
-            "sorted_ids": ids_stream.reshape(K, CHUNK),
-            "perm": perm_stream,
+    plan = {"meta": meta.astype(np.int32), "perm": perm_stream,
             "inv_perm": inv_perm}
+    if not compact:
+        ids_stream = np.full((K * CHUNK,), v_pad + tile, np.int32)
+        if n:
+            ids_stream[dest] = sorted_ids
+        plan["sorted_ids"] = ids_stream.reshape(K, CHUNK)
+    return plan
+
+
+def stream_ids(plan, flat_ids: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """[K, 128] per-slot ids: shipped with the plan by default; compact plans
+    rebuild them on device (a latency-bound 1-D gather, ~3 ms at 131k ids —
+    see make_sort_plan)."""
+    if "sorted_ids" in plan:
+        return plan["sorted_ids"]
+    tile = _tile_rows(num_rows)
+    v_pad = -(-num_rows // tile) * tile
+    perm = plan["perm"]
+    ids = jnp.take(flat_ids, perm, axis=0)  # -1 clips to 0; masked next
+    ids = jnp.where(perm >= 0, ids, v_pad + tile).astype(jnp.int32)
+    return ids.reshape(-1, CHUNK)
 
 
 def _chunk_kernel(meta_ref, ids_ref, rows_ref, out_ref, *, dim, tile_rows,
@@ -338,8 +404,10 @@ def _chunk_kernel(meta_ref, ids_ref, rows_ref, out_ref, *, dim, tile_rows,
 
 
 def presorted_segment_accumulate(plan, rows: jnp.ndarray,
-                                 num_rows: int) -> jnp.ndarray:
-    """Dense [num_rows, D] grad from cotangent rows [N, D] + host sort plan."""
+                                 num_rows: int,
+                                 ids_stream: jnp.ndarray) -> jnp.ndarray:
+    """Dense [num_rows, D] grad from cotangent rows [N, D] + host sort plan.
+    ``ids_stream`` is ``stream_ids(plan, flat_ids, num_rows)``."""
     n, dim = rows.shape
     tile = _tile_rows(num_rows)
     v_pad = -(-num_rows // tile) * tile
@@ -371,7 +439,7 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
                           mode=_grad_mode()),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((dim, v_pad), jnp.float32),
-    )(plan["meta"], plan["sorted_ids"], sorted_rows)
+    )(plan["meta"], ids_stream, sorted_rows)
     out = out.T  # layout bitcast into the tables' column-major layout
     return out if v_pad == num_rows else out[:num_rows]
 
@@ -428,7 +496,7 @@ def _select_kernel(meta_ref, ids_ref, table_ref, out_ref, *, dim, tile_rows,
 _SCAN_FWD_DENSITY = 24
 
 
-def _scan_select_forward(table, ids, plan):
+def _scan_select_forward(table, ids, plan, ids_stream):
     num_rows, dim = table.shape
     tile = _tile_rows(num_rows)
     k_chunks = plan["meta"].shape[0]
@@ -449,7 +517,7 @@ def _scan_select_forward(table, ids, plan):
                           mode=_grad_mode()),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_chunks * CHUNK, dim), jnp.float32),
-    )(plan["meta"], plan["sorted_ids"], table.T)
+    )(plan["meta"], ids_stream, table.T)
     flat = jnp.take(stream, plan["inv_perm"], axis=0)  # un-permute (small src)
     return flat.reshape(ids.shape + (dim,)).astype(table.dtype)
 
@@ -464,7 +532,7 @@ def _scan_fwd_ok(table, ids, plan) -> bool:
             and ids.size * _SCAN_FWD_DENSITY >= table.shape[0])
 
 
-def _planned_value(table, ids, plan):
+def _planned_value(table, ids, plan, ids_stream=None):
     expected = plan_chunks(ids.size, table.shape[0])
     if plan["meta"].shape[0] != expected:
         raise ValueError(
@@ -473,7 +541,9 @@ def _planned_value(table, ids, plan):
             f"{ids.size} lookups into {table.shape[0]} rows; rebuild with "
             f"make_sort_plan(ids, padded_rows(total_rows))")
     if _scan_fwd_ok(table, ids, plan):
-        return _scan_select_forward(table, ids, plan)
+        if ids_stream is None:
+            ids_stream = stream_ids(plan, ids.reshape(-1), table.shape[0])
+        return _scan_select_forward(table, ids, plan, ids_stream)
     return jnp.take(table, ids, axis=0)
 
 
@@ -488,13 +558,15 @@ def planned_gather(table: jnp.ndarray, ids: jnp.ndarray, plan) -> jnp.ndarray:
 
 
 def _planned_fwd(table, ids, plan):
-    return _planned_value(table, ids, plan), (plan, table.shape[0])
+    ids_stream = stream_ids(plan, ids.reshape(-1), table.shape[0])
+    value = _planned_value(table, ids, plan, ids_stream)
+    return value, (plan, ids_stream, table.shape[0])
 
 
 def _planned_bwd(res, g):
-    plan, num_rows = res
+    plan, ids_stream, num_rows = res
     rows = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
-    grad = presorted_segment_accumulate(plan, rows, num_rows)
+    grad = presorted_segment_accumulate(plan, rows, num_rows, ids_stream)
     return grad.astype(g.dtype), None, None
 
 
@@ -520,7 +592,6 @@ def plan_matches(plan, num_lookups: int, num_rows: int) -> bool:
         return False
     k = plan_chunks(num_lookups, num_rows)
     return (plan["meta"].shape == (k,)
-            and plan["sorted_ids"].shape == (k, CHUNK)
             and plan["perm"].shape == (k * CHUNK,)
             and plan.get("inv_perm") is not None
             and plan["inv_perm"].shape == (num_lookups,))

@@ -73,8 +73,8 @@ def test_make_sort_plan_invariants():
     plan = make_sort_plan(ids, num_rows)
     K = plan_chunks(n, num_rows)
     assert plan["meta"].shape == (K,)
-    assert plan["sorted_ids"].shape == (K, CHUNK)
     assert plan["perm"].shape == (K * CHUNK,)
+    assert plan["inv_perm"].shape == (n,)
     tile = _tile_rows(num_rows)
     t = num_rows // tile
     meta = plan["meta"].astype(np.int64)
@@ -82,13 +82,15 @@ def test_make_sort_plan_invariants():
     # exactly one zero-init chunk per output tile; tiles in ascending order
     assert first.sum() == t
     assert (np.diff(tiles_) >= 0).all()
-    # real slots carry exactly the input ids, sorted, in their chunk's tile
-    flat = plan["sorted_ids"].reshape(-1)
-    real_slots = flat < num_rows
+    # rebuild the id stream the way the device does (gather by perm)
+    perm = plan["perm"]
+    real_slots = perm >= 0
+    flat = np.where(real_slots, ids[np.clip(perm, 0, None)], num_rows + tile)
     assert real_slots.sum() == n
     np.testing.assert_array_equal(np.sort(ids), np.sort(flat[real_slots]))
-    np.testing.assert_array_equal(ids[plan["perm"][real_slots]],
-                                  flat[real_slots])
+    # inv_perm round-trips every entry to its slot
+    np.testing.assert_array_equal(flat[plan["inv_perm"]], ids)
+    # every real slot's id belongs to its chunk's tile
     chunk_of = np.repeat(np.arange(K), CHUNK)
     assert (flat[real_slots] // tile == tiles_[chunk_of[real_slots]]).all()
     # chunks flagged real actually contain entries; sentinel chunks do not
@@ -178,3 +180,23 @@ def test_fused_softmax_ce_matches_naive():
     tol_i = 5e-3 * float(np.abs(np.asarray(g1i)).max())
     np.testing.assert_allclose(np.asarray(g1u), np.asarray(g2u), atol=tol_u)
     np.testing.assert_allclose(np.asarray(g1i), np.asarray(g2i), atol=tol_i)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pallas TPU kernel needs a TPU backend")
+def test_planned_gather_compact_plan_tpu():
+    """Compact plans (no shipped sorted_ids) rebuild the stream on device."""
+    rng = np.random.default_rng(8)
+    V, D, N = 131_072, 32, 9_216
+    ids_np = rng.integers(0, V, N).astype(np.int32)
+    plan = {k: jnp.asarray(v)
+            for k, v in make_sort_plan(ids_np, V, compact=True).items()}
+    assert "sorted_ids" not in plan
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    ids = jnp.asarray(ids_np)
+    co = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    g_ref = jax.grad(lambda t: jnp.vdot(jnp.take(t, ids, axis=0), co))(table)
+    g_plan = jax.grad(lambda t: jnp.vdot(planned_gather(t, ids, plan), co))(table)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_plan), np.asarray(g_ref),
+                               atol=5e-5 * scale)
