@@ -62,7 +62,14 @@ def main():
     attach_emb_plan(batch, model.spec, DIM)
     tx = make_optimizer(1e-3, steps_per_epoch=1)
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
-    train_step = make_train_step(state.batch_stats is not None)
+    # fuse the table Adam update into the planned backward kernel — the dense
+    # [V, D] embedding gradient never reaches HBM (docs/perf_notes.md §1)
+    from rec_pangu_tpu.train.fused_update import maybe_enable_fused_update
+
+    state, train_step = maybe_enable_fused_update(
+        state, model, batch, lr=1e-3, steps_per_epoch=1)
+    if train_step is None:
+        train_step = make_train_step(state.batch_stats is not None)
     step_rng = jax.random.PRNGKey(1)
 
     batch = jax.device_put(batch)

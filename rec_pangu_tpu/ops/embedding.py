@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,10 +51,20 @@ class FusedEmbedding(nn.Module):
         as ``batch["emb_plan"]``); when present and the table is big enough,
         the backward skips XLA's row-serial scatter entirely.
         """
-        from .kernels.embedding_grad import (fused_gather, plan_matches,
-                                             planned_gather, planned_path_ok)
+        from .kernels.embedding_grad import (_planned_value, fused_gather,
+                                             plan_matches, planned_gather,
+                                             planned_path_ok)
 
         fused_ids = sparse_ids + self._offsets[None, :]
+        cap = plan.get("capture") if isinstance(plan, dict) else None
+        if cap is not None and f"d{self.embedding_dim}" in cap:
+            # fused-update mode (train/fused_update.py): the table's update is
+            # applied by the planned-Adam kernel from the cotangent of this
+            # zero 'capture' leaf, so the table itself is held out of autodiff
+            base_plan = {k: v for k, v in plan.items() if k != "capture"}
+            val = _planned_value(jax.lax.stop_gradient(self.table), fused_ids,
+                                 base_plan)
+            return val + cap[f"d{self.embedding_dim}"].reshape(val.shape)
         if (plan is not None
                 and planned_path_ok(self.spec.total_rows, fused_ids.size,
                                     self.embedding_dim)
@@ -73,11 +84,14 @@ def host_fused_ids(spec: FeatureSpec, sparse) -> np.ndarray:
             + np.asarray(spec.offsets, dtype=np.int64)[None, :]).reshape(-1)
 
 
-def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int) -> dict:
+def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
+                    force: bool = False) -> dict:
     """Host-side: add ``batch["emb_plan"]`` when the planned backward applies.
 
     Called by the trainer/bench at batch-prep time; a no-op for small tables,
-    CPU backends, or batches without a ``sparse`` field.
+    CPU backends, or batches without a ``sparse`` field.  ``force`` waives the
+    lookup-count threshold (a perf gate only) — the fused-update train step
+    needs a plan on EVERY batch, including a small final partial one.
     """
     from .kernels.embedding_grad import (make_sort_plan, padded_rows,
                                          planned_path_ok)
@@ -88,7 +102,8 @@ def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int) -> dict:
     if sparse is None or "emb_plan" in batch:
         return batch
     n = int(np.prod(sparse.shape))
-    if not planned_path_ok(spec.total_rows, n, embedding_dim):
+    if not planned_path_ok(spec.total_rows, n if not force else 2**30,
+                           embedding_dim):
         return batch
     # compact plans ship a third less data per batch at ~3 ms/step device
     # cost — for hosts whose device link, not the chip, is the bottleneck

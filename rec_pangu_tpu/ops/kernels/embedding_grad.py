@@ -161,8 +161,8 @@ def _call_accumulate(starts, sorted_ids_p, sorted_rows_p, num_rows: int,
         num_scalar_prefetch=1,
         grid=(t_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted ids [M, 128] in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted rows [M*128, 128] in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # sorted ids [M, 128] in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # sorted rows [M*128, 128] in HBM
         ],
         out_specs=pl.BlockSpec((dim, tile), lambda t, starts: (0, t),
                                memory_space=pltpu.VMEM),
@@ -264,7 +264,9 @@ def _native_sort_plan(flat_ids, num_rows: int, compact: bool = False):
         raise ValueError(
             f"id out of range for a {num_rows}-row table — build the plan "
             f"with padded_rows(total_rows)")
-    plan = {"meta": meta, "perm": perm, "inv_perm": inv_perm[:n]}
+    plan = {"meta": meta, "perm": perm, "inv_perm": inv_perm[:n],
+            # per-tile chunk span [T+1], for the tile-major fused-Adam kernel
+            "tile_starts": base.astype(np.int32)}
     if not compact:
         plan["sorted_ids"] = ids_stream.reshape(k, CHUNK)
     return plan
@@ -337,7 +339,9 @@ def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
     real[:used] = local_c * CHUNK < n_t[tile_per_chunk]
     meta = (chunk_tile << 2) | (first << 1) | real
     plan = {"meta": meta.astype(np.int32), "perm": perm_stream,
-            "inv_perm": inv_perm}
+            "inv_perm": inv_perm,
+            # per-tile chunk span [T+1], for the tile-major fused-Adam kernel
+            "tile_starts": base.astype(np.int32)}
     if not compact:
         ids_stream = np.full((K * CHUNK,), v_pad + tile, np.int32)
         if n:

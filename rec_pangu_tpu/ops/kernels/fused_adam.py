@@ -1,0 +1,247 @@
+"""Pallas TPU kernel: embedding Adam update fused into the planned backward.
+
+The planned embedding backward (``embedding_grad.presorted_segment_accumulate``)
+already holds each vocab tile's dense gradient in VMEM while it accumulates
+the tile's chunks.  The separate optimizer pass then re-reads that gradient
+plus the table and both Adam moments from HBM and writes three arrays back —
+for a 1.6M x 32 table that is 8 full-table HBM passes per step
+(grad write+read, p/m/v read+write), ~3.5 ms of the 8.1 ms DeepFM step
+(docs/perf_notes.md §1).
+
+This kernel applies the Adam update *inside* the gradient accumulation: the
+dense gradient never reaches HBM and the traffic drops to the irreducible 6
+passes (read+write of p/m/nu), overlapped with the one-hot MXU matmuls.
+
+Kernel structure (the scalar-indexed variant was 2.3 ms slower — Mosaic only
+auto-pipelines block fetches whose index maps it can look ahead through, so
+heavy INPUT blocks keyed on a prefetched scalar stall per tile):
+
+* grid over vocab TILES; p/m/v in/out blocks are indexed affinely by the tile
+  id, so Mosaic double-buffers all six heavy streams at full bandwidth;
+* each tile's (variable-length) run of 128-entry chunks — located by the
+  plan's ``tile_starts`` — is fetched by a manual NBUF-deep async-copy ring
+  from HBM and accumulated with one-hot MXU matmuls into a VMEM scratch tile;
+* on the last chunk the resident p/m/v blocks are updated in place
+  (``input_output_aliases``) with dense-semantics Adam.
+
+Semantics are DENSE Adam (optax.adam parity): every tile is visited every
+step, so rows absent from the batch still have their moments decayed and
+their parameters nudged by the bias-corrected first moment — comparable to
+the reference's ``torch.optim.Adam`` over dense ``nn.Embedding`` grads
+(rec_pangu/trainer.py:75).
+
+Wired in by ``train/fused_update.py``; numerics A/B'd against the unfused
+planned step in ``tests/test_fused_adam.py``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .embedding_grad import CHUNK, _grad_mode, _tile_rows, plan_chunks
+
+NBUF = 8  # chunk-fetch ring depth (the ring is global over the stream)
+_VMEM_BUDGET = 10 * 1024 * 1024  # six double-buffered [D, R] blocks must fit
+
+
+def _adam_tile_kernel(starts_ref, hyper_ref, ids_hbm, rows_hbm, p_ref, m_ref,
+                      v_ref, p_out, m_out, v_out, acc_ref, ids_buf, rows_buf,
+                      qn_ref, sem_i, sem_r, *, dim, tile_rows, mode, t_tiles):
+    t = pl.program_id(0)
+    c0 = starts_ref[t]
+    c1 = starts_ref[t + 1]
+    used = starts_ref[t_tiles]  # real (non-padding) chunks in the stream
+    row_base = t * tile_rows
+
+    def dma_pair(q, slot):
+        # rows arrive TRANSPOSED [D, K*128]: the chunk slice (D, 128) is
+        # 128-lane aligned (manual DMA requires it) and is directly the
+        # matmul lhs — no in-kernel repack
+        return (
+            pltpu.make_async_copy(ids_hbm.at[pl.ds(q, 1), :],
+                                  ids_buf.at[pl.ds(slot, 1), :],
+                                  sem_i.at[slot]),
+            pltpu.make_async_copy(rows_hbm.at[:, pl.ds(q * CHUNK, CHUNK)],
+                                  rows_buf.at[slot], sem_r.at[slot]),
+        )
+
+    def issue(q):
+        di, dr = dma_pair(q, jax.lax.rem(q, NBUF))
+        di.start()
+        dr.start()
+
+    # the fetch ring is GLOBAL over the chunk stream, carried across grid
+    # steps in qn_ref (scratch persists): most tiles have ~1 chunk, so a
+    # per-tile ring would re-pay the HBM latency every grid step.  Invariant:
+    # qn - consumed == min(NBUF - 1, used - consumed): keeping one slot idle
+    # means a refill always targets the slot consumed LAST iteration — the
+    # scalar core issues DMAs ahead of the VPU, so refilling the slot read in
+    # the SAME iteration would race the reads.
+    @pl.when(t == 0)
+    def _warm():
+        n0 = jnp.minimum(NBUF - 1, used)
+
+        def warm(q, _):
+            issue(q)
+            return 0
+
+        jax.lax.fori_loop(0, n0, warm, 0)
+        qn_ref[0] = n0
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, NBUF)
+        di, dr = dma_pair(c, slot)
+        di.wait()
+        dr.wait()
+        local = ids_buf[slot, :] - row_base             # [128]
+        onehot = (local[:, None] ==
+                  jax.lax.broadcasted_iota(jnp.int32, (CHUNK, tile_rows), 1)
+                  ).astype(jnp.float32)                 # [128, R]
+        rows_r = rows_buf[slot]                         # [D, 128]
+
+        def dot_t(lhs, precision):
+            # transposed accumulation [D, R] = rows^T @ onehot (the layout
+            # matches the tables' column-major storage — see embedding_grad)
+            return jax.lax.dot_general(
+                lhs, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        if mode == "split2":
+            hi = rows_r.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = rows_r - hi
+            acc = (dot_t(hi, jax.lax.Precision.DEFAULT)
+                   + dot_t(lo, jax.lax.Precision.DEFAULT))
+        elif mode == "default":
+            acc = dot_t(rows_r, jax.lax.Precision.DEFAULT)
+        else:
+            acc = dot_t(rows_r, jax.lax.Precision.HIGHEST)
+        acc_ref[:] += acc
+        # slot freed — refill with the next unissued chunk (if any); this
+        # runs after the reads above, so the overwrite is safe
+        qn = qn_ref[0]
+
+        @pl.when(qn < used)
+        def _refill():
+            issue(qn)
+
+        qn_ref[0] = qn + jnp.where(qn < used, 1, 0)
+        return 0
+
+    jax.lax.fori_loop(c0, c1, body, 0)
+
+    g = acc_ref[:, :]
+    lr = hyper_ref[0]
+    b1 = hyper_ref[1]
+    b2 = hyper_ref[2]
+    eps = hyper_ref[3]
+    inv_b1c = hyper_ref[4]  # 1 / (1 - b1**t)
+    inv_b2c = hyper_ref[5]  # 1 / (1 - b2**t)
+    mu = b1 * m_ref[:, :] + (1.0 - b1) * g
+    nu = b2 * v_ref[:, :] + (1.0 - b2) * (g * g)
+    m_out[:] = mu
+    v_out[:] = nu
+    # optax.scale_by_adam ordering: mu_hat / (sqrt(nu_hat) + eps)
+    p_out[:] = p_ref[:, :] - lr * (mu * inv_b1c) / (
+        jnp.sqrt(nu * inv_b2c) + eps)
+
+
+def fused_adam_fits(num_rows: int, dim: int) -> bool:
+    """Six double-buffered [dim, tile] f32 blocks must fit VMEM."""
+    tile = _tile_rows(num_rows)
+    return 12 * dim * tile * 4 <= _VMEM_BUDGET
+
+
+def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
+                        interpret: bool = False):
+    """One dense-semantics Adam step on a planned embedding table.
+
+    Args:
+      plan: host sort plan for this batch's flat ids, with ``tile_starts``
+        (``make_sort_plan(ids, table.shape[0])``).
+      ids_stream: ``stream_ids(plan, flat_ids, table.shape[0])`` — [K, 128].
+      rows: [N, D] f32 cotangent d(loss)/d(gathered rows), batch order.
+      table, mu, nu: [V_pad, D] current param and Adam moments
+        (V_pad a tile multiple — ``padded_rows``).
+      hyper: f32[8] = [lr_t, b1, b2, eps, 1/(1-b1^t), 1/(1-b2^t), 0, 0].
+
+    Returns (new_table, new_mu, new_nu); inputs are aliased to outputs, so
+    callers should donate them (the jitted train step does).
+    """
+    n, dim = rows.shape
+    num_rows = table.shape[0]
+    tile = _tile_rows(num_rows)
+    if num_rows % tile:
+        raise ValueError(
+            f"fused Adam needs a tile-padded table; got {num_rows} rows "
+            f"(pad with padded_rows)")
+    t_tiles = num_rows // tile
+    if "tile_starts" not in plan:
+        raise ValueError("plan lacks tile_starts — rebuild with make_sort_plan")
+    k_chunks = plan["meta"].shape[0]
+    expected = plan_chunks(n, num_rows)
+    if k_chunks != expected:
+        raise ValueError(
+            f"sort plan was built for a different table/batch: {k_chunks} "
+            f"chunks, expected {expected} for {n} lookups into {num_rows} rows")
+    # stream shipped dim-major so the kernel's manual chunk DMA slices are
+    # 128-lane aligned; padding slots (perm -1 -> clamp to 0) carry row 0,
+    # whose sentinel ids match no one-hot column
+    sorted_rows_t = jnp.take(rows.astype(jnp.float32).T, plan["perm"], axis=1)
+
+    def big(io):  # affine tile-indexed heavy streams — Mosaic auto-pipelines
+        return pl.BlockSpec((dim, tile), lambda t, starts, hyper: (0, t),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_starts, hyper
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # ids stream [K, 128], HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows^T [D, K*128], HBM
+            big("in"), big("in"), big("in"),
+        ],
+        out_specs=[big("out"), big("out"), big("out")],
+        scratch_shapes=[
+            pltpu.VMEM((dim, tile), jnp.float32),    # grad accumulator
+            pltpu.VMEM((NBUF, CHUNK), jnp.int32),    # ids ring
+            pltpu.VMEM((NBUF, dim, CHUNK), jnp.float32),  # rows^T ring
+            pltpu.SMEM((1,), jnp.int32),             # next-chunk-to-issue
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    shape = jax.ShapeDtypeStruct((dim, num_rows), jnp.float32)
+    new_p, new_m, new_v = pl.pallas_call(
+        functools.partial(_adam_tile_kernel, dim=dim, tile_rows=tile,
+                          mode=_grad_mode(), t_tiles=t_tiles),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape, shape],
+        # operand indices include the two scalar-prefetch args
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        interpret=interpret,
+    )(plan["tile_starts"], hyper, ids_stream, sorted_rows_t,
+      table.T, mu.T, nu.T)
+    # .T back into [V, D]: a layout bitcast of the column-major storage
+    return new_p.T, new_m.T, new_v.T
+
+
+def adam_hyper(step, lr, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-8) -> jnp.ndarray:
+    """f32[8] hyper vector for ``planned_adam_update`` at 1-based step t."""
+    t = step.astype(jnp.float32)
+    b1c = 1.0 - jnp.float32(b1) ** t
+    b2c = 1.0 - jnp.float32(b2) ** t
+    return jnp.stack([
+        jnp.asarray(lr, jnp.float32), jnp.float32(b1), jnp.float32(b2),
+        jnp.float32(eps), 1.0 / b1c, 1.0 / b2c,
+        jnp.float32(0.0), jnp.float32(0.0),
+    ])

@@ -1,0 +1,202 @@
+"""Train step with the embedding Adam update fused into the backward kernel.
+
+The standard step (``steps.make_train_step``) materializes a dense [V, D]
+embedding gradient and then runs a full-table optax Adam pass — 8 full-table
+HBM passes per step for the big fused tables (docs/perf_notes.md §1).  This
+step instead:
+
+1. holds the fused tables out of autodiff (``FusedEmbedding`` 'capture' mode:
+   the model adds a zero leaf to the gathered rows, whose cotangent IS
+   d(loss)/d(rows) — no dense table gradient ever exists);
+2. updates every non-table parameter with a masked optax Adam (identical
+   schedule/betas);
+3. updates each table with ``ops.kernels.fused_adam.planned_adam_update`` —
+   the planned-backward grid applies dense-semantics Adam tile-by-tile while
+   the gradient tile is still in VMEM.
+
+Semantics match the unfused step (optax.adam over dense grads) to kernel
+matmul precision; A/B'd in ``tests/test_fused_adam.py``.  Single-device,
+TPU-only, plan-carrying batches only — ``fused_update_applicable`` gates it
+and callers fall back to the standard step otherwise.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+
+from ..ops.kernels.embedding_grad import (padded_rows, plan_matches,
+                                          planned_path_ok, stream_ids)
+from ..ops.kernels.fused_adam import adam_hyper, planned_adam_update
+from .optim import make_lr_schedule
+from .steps import TrainState
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8  # torch defaults (trainer.py:75)
+
+
+def find_fused_tables(params, total_rows: int) -> Optional[Dict[int, Tuple[str, ...]]]:
+    """Locate FusedEmbedding tables in a param tree: leaves named 'table' with
+    ``padded_rows(total_rows)`` rows.  Returns {embedding_dim: path} or None
+    when ambiguous (two tables of the same dim — e.g. AFN's ensemble second
+    table — would share one capture leaf and receive summed cotangents)."""
+    rows = padded_rows(total_rows)
+    flat = traverse_util.flatten_dict(params)
+    by_dim: Dict[int, Tuple[str, ...]] = {}
+    for path, leaf in flat.items():
+        if path[-1] == "table" and getattr(leaf, "ndim", 0) == 2 \
+                and leaf.shape[0] == rows:
+            if leaf.shape[1] in by_dim:
+                return None
+            by_dim[leaf.shape[1]] = path
+    return by_dim or None
+
+
+def fused_update_applicable(model, params, sample_batch) -> Optional[Dict[int, Tuple[str, ...]]]:
+    """Gate: single-device TPU ranking/multi-task batch with a sort plan whose
+    tables all qualify for the planned path."""
+    spec = getattr(model, "spec", None)
+    sparse = sample_batch.get("sparse")
+    plan = sample_batch.get("emb_plan")
+    if spec is None or sparse is None or plan is None:
+        return None
+    tables = find_fused_tables(params, spec.total_rows)
+    if not tables:
+        return None
+    from ..ops.kernels.fused_adam import fused_adam_fits
+
+    n = int(np.prod(sparse.shape))
+    rows = padded_rows(spec.total_rows)
+    for dim, _ in tables.items():
+        if not planned_path_ok(spec.total_rows, n, dim):
+            return None
+        if not fused_adam_fits(rows, dim):
+            return None
+    if not plan_matches(plan, n, rows) or "tile_starts" not in plan:
+        return None
+    return tables
+
+
+def init_fused_opt_state(params, tables: Dict[int, Tuple[str, ...]], lr: float,
+                         steps_per_epoch: int, lr_scheduler_type: str = "",
+                         scheduler_params: Optional[dict] = None):
+    """(tx, opt_state) for the fused step: masked optax Adam over everything
+    except the tables + zero Adam moments per table."""
+    schedule = make_lr_schedule(lr, steps_per_epoch, lr_scheduler_type,
+                                scheduler_params)
+    table_paths = set(tables.values())
+
+    def mask(tree):
+        flat = traverse_util.flatten_dict(tree)
+        return traverse_util.unflatten_dict(
+            {p: p not in table_paths for p in flat})
+
+    tx = optax.masked(
+        optax.adam(schedule, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS), mask)
+    flat = traverse_util.flatten_dict(params)
+    emb_state = {
+        "/".join(path): {"mu": jnp.zeros_like(flat[path]),
+                         "nu": jnp.zeros_like(flat[path])}
+        for path in table_paths
+    }
+    return tx, (tx.init(params), emb_state)
+
+
+def maybe_enable_fused_update(state: TrainState, model, sample_batch,
+                              lr: float, steps_per_epoch: int,
+                              lr_scheduler_type: str = "",
+                              scheduler_params: Optional[dict] = None):
+    """Swap a freshly-initialized TrainState onto the fused-update path when
+    it applies.  Returns (state, train_step) — train_step is None (and the
+    state untouched) when the model/batch/backend does not qualify, the
+    optimizer is not plain Adam, or REC_PANGU_TPU_FUSED_ADAM=0."""
+    import os
+
+    if os.environ.get("REC_PANGU_TPU_FUSED_ADAM", "1") not in ("1", "on", "true"):
+        return state, None
+    if int(state.step) != 0:
+        return state, None  # moments would be lost; resume uses the std step
+    tables = fused_update_applicable(model, state.params, sample_batch)
+    if not tables:
+        return state, None
+    tx, opt_state = init_fused_opt_state(
+        state.params, tables, lr, steps_per_epoch, lr_scheduler_type,
+        scheduler_params)
+    state = state.replace(tx=tx, opt_state=opt_state)
+    step = make_fused_update_train_step(
+        model, tables, lr, steps_per_epoch, lr_scheduler_type,
+        scheduler_params, has_batch_stats=state.batch_stats is not None)
+    return state, step
+
+
+def make_fused_update_train_step(model, tables: Dict[int, Tuple[str, ...]],
+                                 lr: float, steps_per_epoch: int,
+                                 lr_scheduler_type: str = "",
+                                 scheduler_params: Optional[dict] = None,
+                                 has_batch_stats: bool = False):
+    """Jitted (state, batch, rng) -> (state, out) with in-kernel table Adam.
+
+    ``state.opt_state`` must be the pair from ``init_fused_opt_state`` and
+    ``state.tx`` its masked transform."""
+    schedule = make_lr_schedule(lr, steps_per_epoch, lr_scheduler_type,
+                                scheduler_params)
+    offsets = np.asarray(model.spec.offsets, dtype=np.int64)
+    dims = tuple(sorted(tables))
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {"dropout": step_rng, "routing": jax.random.fold_in(step_rng, 1)}
+        plan = batch["emb_plan"]
+        sparse = batch["sparse"]
+        n = int(np.prod(sparse.shape))
+
+        def loss_fn(params, cap):
+            b = dict(batch)
+            b["emb_plan"] = {**plan, "capture": cap}
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mutated = state.apply_fn(
+                    variables, b, True, rngs=rngs, mutable=["batch_stats"])
+                return out["loss"], (out, mutated.get("batch_stats"))
+            out = state.apply_fn(variables, b, True, rngs=rngs)
+            return out["loss"], (out, None)
+
+        cap = {f"d{d}": jnp.zeros((n, d), jnp.float32) for d in dims}
+        (grads, cap_grads), (out, new_bs) = jax.grad(
+            loss_fn, (0, 1), has_aux=True)(state.params, cap)
+
+        base_state, emb_state = state.opt_state
+        updates, new_base = state.tx.update(grads, base_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        hyper = adam_hyper(state.step + 1, schedule(state.step),
+                           ADAM_B1, ADAM_B2, ADAM_EPS)
+        flat = traverse_util.flatten_dict(new_params)
+        new_emb_state = dict(emb_state)
+        fused_ids = (jnp.asarray(sparse, jnp.int32)
+                     + jnp.asarray(offsets, jnp.int32)[None, :]).reshape(-1)
+        for d in dims:
+            path = tables[d]
+            key = "/".join(path)
+            table = flat[path]
+            ids_stream = stream_ids(plan, fused_ids, table.shape[0])
+            new_t, new_mu, new_nu = planned_adam_update(
+                plan, ids_stream, cap_grads[f"d{d}"], table,
+                emb_state[key]["mu"], emb_state[key]["nu"], hyper)
+            flat[path] = new_t
+            new_emb_state[key] = {"mu": new_mu, "nu": new_nu}
+        new_params = traverse_util.unflatten_dict(flat)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs if has_batch_stats else None,
+            opt_state=(new_base, new_emb_state),
+        )
+        return new_state, out
+
+    return jax.jit(train_step, donate_argnums=(0,))

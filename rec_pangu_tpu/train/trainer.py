@@ -116,7 +116,10 @@ class _BaseTrainer:
             return batch
         from ..ops.embedding import attach_emb_plan
 
-        return attach_emb_plan(batch, spec, dim)
+        # fused-update mode needs a plan on EVERY train batch (the step's
+        # optimizer state only updates through the kernel)
+        force = getattr(self, "_fused_step", None) is not None
+        return attach_emb_plan(batch, spec, dim, force=force)
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
@@ -195,7 +198,16 @@ class _BaseTrainer:
         ckpt = load_checkpoint(path)
         replacements = dict(params=ckpt["params"], batch_stats=ckpt["batch_stats"])
         if ckpt.get("opt_state") is not None:
-            replacements["opt_state"] = ckpt["opt_state"]
+            saved = ckpt["opt_state"]
+            same = (jax.tree_util.tree_structure(saved)
+                    == jax.tree_util.tree_structure(self.state.opt_state))
+            if same:
+                replacements["opt_state"] = saved
+            else:
+                logger.warning(
+                    "Checkpoint optimizer state has a different structure "
+                    "(fused vs standard embedding update) — restoring params "
+                    "only; optimizer restarts from scratch")
         import jax.numpy as jnp
 
         replacements["step"] = jnp.asarray(ckpt.get("step", 0), jnp.int32)
@@ -230,6 +242,24 @@ class RankTrainer(_BaseTrainer):
         sample_batch = next(iter(train_loader))
         self._build_state(model, sample_batch, lr, len(train_loader),
                           lr_scheduler_type, scheduler_params, seed, mesh=mesh)
+        self._std_step = self._train_step
+        # fuse the big tables' Adam update into the planned backward kernel
+        # (docs/perf_notes.md §1) — single-device, fresh-state, plain-Adam only
+        if (mesh is None and not resume_from and steps_per_call == 1
+                and not self._pending_pretrained):
+            from .fused_update import maybe_enable_fused_update
+            from .steps import strip_host_keys as _shk
+
+            sb, _ = _shk(sample_batch)
+            sb = self._attach_plan(dict(sb))
+            self.state, fstep = maybe_enable_fused_update(
+                self.state, model, sb, lr, len(train_loader),
+                lr_scheduler_type, scheduler_params)
+            if fstep is not None:
+                self._fused_step = fstep
+                self._train_step = fstep
+                logger.info("Embedding Adam update fused into the planned "
+                            "backward kernel")
         if resume_from:
             self.resume(resume_from)
         self._profile_dir = profile_dir

@@ -1,0 +1,151 @@
+"""Fused embedding-Adam kernel and train step (ops/kernels/fused_adam.py,
+train/fused_update.py).
+
+The kernel applies dense-semantics Adam to a planned embedding table inside
+the gradient-accumulation grid; semantics must match optax.adam over the
+dense scatter gradient (the reference's torch.optim.Adam over nn.Embedding
+grads, rec_pangu/trainer.py:75) to kernel matmul precision.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rec_pangu_tpu.models import get_model
+from rec_pangu_tpu.ops.embedding import attach_emb_plan
+from rec_pangu_tpu.ops.kernels.embedding_grad import make_sort_plan, stream_ids
+from rec_pangu_tpu.train.fused_update import (fused_update_applicable,
+                                              maybe_enable_fused_update)
+from rec_pangu_tpu.train.optim import make_optimizer
+from rec_pangu_tpu.train.steps import create_train_state, make_train_step
+
+tpu_only = pytest.mark.skipif(jax.default_backend() == "cpu",
+                              reason="pallas TPU kernel needs a TPU backend")
+
+
+def _ranking_fixture(batch=1024, n_sparse=8, vocab=16_384, seed=0):
+    """Just above the planned-path thresholds (>=64k fused rows, >=8k lookups)."""
+    rng = np.random.default_rng(seed)
+    enc = {f"sparse_{i}": {"vocab_size": vocab} for i in range(n_sparse)}
+    enc.update({f"dense_{i}": {"min": 0.0, "max": 1.0} for i in range(3)})
+    data = {
+        "sparse": rng.integers(0, vocab, (batch, n_sparse), dtype=np.int32),
+        "dense": rng.random((batch, 3), dtype=np.float32),
+        "label": rng.integers(0, 2, (batch,)).astype(np.float32),
+    }
+    return enc, data
+
+
+@tpu_only
+def test_kernel_matches_dense_optax_adam():
+    from rec_pangu_tpu.ops.kernels.fused_adam import (adam_hyper,
+                                                      planned_adam_update)
+
+    rng = np.random.default_rng(0)
+    V, D, N = 4096, 32, 2048
+    ids_np = rng.integers(0, V, (N,), dtype=np.int64)
+    plan = {k: jnp.asarray(v) for k, v in make_sort_plan(ids_np, V).items()}
+    ids = jnp.asarray(ids_np, jnp.int32)
+    ids_stream = stream_ids(plan, ids, V)
+    rows = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    p0 = jnp.asarray(rng.standard_normal((V, D)), jnp.float32) * 0.01
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(p0)
+    p_ref, p_f = p0, p0
+    mu = nu = jnp.zeros_like(p0)
+    for t in (1, 2, 3):
+        g = jax.ops.segment_sum(rows, jnp.asarray(ids_np), V)
+        upd, opt = tx.update(g, opt, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        hyper = adam_hyper(jnp.asarray(t, jnp.int32), 1e-3)
+        p_f, mu, nu = planned_adam_update(plan, ids_stream, rows, p_f, mu, nu,
+                                          hyper)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(opt[0].mu), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nu), np.asarray(opt[0].nu), atol=2e-4)
+
+
+@tpu_only
+def test_fused_step_matches_standard_step():
+    enc, data = _ranking_fixture()
+    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=32)
+    batch = dict(data)
+    attach_emb_plan(batch, model.spec, 32)
+    assert "emb_plan" in batch, "fixture must qualify for the planned path"
+
+    rng = jax.random.PRNGKey(0)
+    srng = jax.random.PRNGKey(1)
+
+    def run(fused: bool, steps: int = 3):
+        state = create_train_state(model, batch,
+                                   make_optimizer(1e-3, steps_per_epoch=1), rng)
+        if fused:
+            state, step = maybe_enable_fused_update(state, model, batch,
+                                                    lr=1e-3, steps_per_epoch=1)
+            assert step is not None
+        else:
+            step = make_train_step(state.batch_stats is not None)
+        losses = []
+        for _ in range(steps):
+            state, out = step(state, batch, srng)
+            losses.append(float(out["loss"]))
+        return state, losses
+
+    # ONE step compares bit-tight (same grads, same Adam math); multi-step
+    # param comparison is chaotic — ReLU kinks amplify one-ULP Adam rounding
+    # (measured: a 1e-8 init nudge diverges the STANDARD path from itself
+    # 10x more than fused-vs-std after 3 steps), so steps 2-3 only check the
+    # loss trajectory
+    f1, _ = run(True, steps=1)
+    s1, _ = run(False, steps=1)
+    for a, b in zip(jax.tree_util.tree_leaves(f1.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    f_state, f_losses = run(True)
+    s_state, s_losses = run(False)
+    np.testing.assert_allclose(f_losses, s_losses, rtol=1e-3)
+    # step counters advanced identically
+    assert int(f_state.step) == int(s_state.step) == 3
+
+
+@tpu_only
+def test_fused_step_dense_semantics_moments_decay():
+    """Rows absent from the batch still get dense-Adam updates (moment decay
+    + bias-corrected first-moment drift) — parity with torch dense Adam."""
+    enc, data = _ranking_fixture()
+    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=32)
+    b1 = dict(data)
+    attach_emb_plan(b1, model.spec, 32)
+    state = create_train_state(model, b1, make_optimizer(1e-3, 1),
+                               jax.random.PRNGKey(0))
+    state, step = maybe_enable_fused_update(state, model, b1, 1e-3, 1)
+    state, _ = step(state, b1, jax.random.PRNGKey(1))
+    _, emb_state = state.opt_state
+    (key, slots), = emb_state.items()
+    mu1 = np.asarray(slots["mu"])
+    state, _ = step(state, b1, jax.random.PRNGKey(1))
+    _, emb_state = state.opt_state
+    mu2 = np.asarray(emb_state[key]["mu"])
+    # every touched row's first moment moved; crucially the kernel visited
+    # every tile (dense semantics), so shapes/moments stay full-table
+    assert mu1.shape[0] >= model.spec.total_rows
+    assert np.any(mu1 != 0)
+    assert not np.allclose(mu1, mu2)
+
+
+def test_applicability_gates():
+    """Runs on any backend: CPU must never enable the fused path."""
+    enc, data = _ranking_fixture(batch=8)
+    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=32)
+    batch = dict(data)
+    # tiny batch: attach_emb_plan declines, so the gate sees no plan
+    attach_emb_plan(batch, model.spec, 32)
+    state = create_train_state(model, batch, make_optimizer(1e-3, 1),
+                               jax.random.PRNGKey(0))
+    if jax.default_backend() == "cpu" or "emb_plan" not in batch:
+        assert fused_update_applicable(model, state.params, batch) is None
+        _, step = maybe_enable_fused_update(state, model, batch, 1e-3, 1)
+        assert step is None
