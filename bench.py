@@ -25,8 +25,12 @@ NUM_SPARSE = 16
 NUM_DENSE = 9
 VOCAB = 100_000
 DIM = 32
-STEPS = 50
+STEPS = 48
 WARMUP = 5
+# fused steps scanned per dispatch; 1 measured fastest — JAX's async dispatch
+# already overlaps the host gap with device execution, and the scan's stacked-
+# batch slicing costs more than it saves (scripts/exp_profile_fused.py)
+K_PER_CALL = 1
 
 BASELINE_EXAMPLES_PER_S = 16_883.0  # torch-cpu (scripts/baseline_torch.py)
 
@@ -66,13 +70,29 @@ def main():
     # [V, D] embedding gradient never reaches HBM (docs/perf_notes.md §1)
     from rec_pangu_tpu.train.fused_update import maybe_enable_fused_update
 
-    state, train_step = maybe_enable_fused_update(
+    state, train_step, tables = maybe_enable_fused_update(
         state, model, batch, lr=1e-3, steps_per_epoch=1)
-    if train_step is None:
-        train_step = make_train_step(state.batch_stats is not None)
     step_rng = jax.random.PRNGKey(1)
 
+    k = 1
+    if train_step is not None and K_PER_CALL > 1:
+        # one dispatch scans K fused steps — amortizes the host dispatch gap
+        from rec_pangu_tpu.train.fused_update import make_fused_multi_step
+
+        k = K_PER_CALL
+        multi = make_fused_multi_step(
+            k, model, tables, 1e-3, 1,
+            has_batch_stats=state.batch_stats is not None)
+        batch = jax.tree.map(lambda x: np.stack([x] * k), batch)
+
+        def train_step(st, b, rng):
+            st, outs = multi(st, b, rng)
+            return st, jax.tree.map(lambda x: x[-1], outs)
+    elif train_step is None:
+        train_step = make_train_step(state.batch_stats is not None)
+
     batch = jax.device_put(batch)
+    calls = max(1, STEPS // k)
     for _ in range(WARMUP):
         state, out = train_step(state, batch, step_rng)
     # sync via scalar fetch: block_until_ready alone is unreliable over the
@@ -80,12 +100,12 @@ def main():
     float(out["loss"])
 
     start = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(calls):
         state, out = train_step(state, batch, step_rng)
     float(out["loss"])
     elapsed = time.perf_counter() - start
 
-    eps = BATCH * STEPS / elapsed
+    eps = BATCH * calls * k / elapsed
     print(json.dumps({
         "metric": "deepfm_train_examples_per_s_per_chip",
         "value": round(eps, 1),

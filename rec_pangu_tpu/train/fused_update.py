@@ -110,18 +110,18 @@ def maybe_enable_fused_update(state: TrainState, model, sample_batch,
                               lr_scheduler_type: str = "",
                               scheduler_params: Optional[dict] = None):
     """Swap a freshly-initialized TrainState onto the fused-update path when
-    it applies.  Returns (state, train_step) — train_step is None (and the
-    state untouched) when the model/batch/backend does not qualify, the
-    optimizer is not plain Adam, or REC_PANGU_TPU_FUSED_ADAM=0."""
+    it applies.  Returns (state, train_step, tables) — train_step is None
+    (and the state untouched) when the model/batch/backend does not qualify,
+    the optimizer is not plain Adam, or REC_PANGU_TPU_FUSED_ADAM=0."""
     import os
 
     if os.environ.get("REC_PANGU_TPU_FUSED_ADAM", "1") not in ("1", "on", "true"):
-        return state, None
+        return state, None, None
     if int(state.step) != 0:
-        return state, None  # moments would be lost; resume uses the std step
+        return state, None, None  # moments would be lost; resume uses std step
     tables = fused_update_applicable(model, state.params, sample_batch)
     if not tables:
-        return state, None
+        return state, None, None
     tx, opt_state = init_fused_opt_state(
         state.params, tables, lr, steps_per_epoch, lr_scheduler_type,
         scheduler_params)
@@ -129,15 +129,15 @@ def maybe_enable_fused_update(state: TrainState, model, sample_batch,
     step = make_fused_update_train_step(
         model, tables, lr, steps_per_epoch, lr_scheduler_type,
         scheduler_params, has_batch_stats=state.batch_stats is not None)
-    return state, step
+    return state, step, tables
 
 
-def make_fused_update_train_step(model, tables: Dict[int, Tuple[str, ...]],
-                                 lr: float, steps_per_epoch: int,
-                                 lr_scheduler_type: str = "",
-                                 scheduler_params: Optional[dict] = None,
-                                 has_batch_stats: bool = False):
-    """Jitted (state, batch, rng) -> (state, out) with in-kernel table Adam.
+def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
+                   lr: float, steps_per_epoch: int,
+                   lr_scheduler_type: str = "",
+                   scheduler_params: Optional[dict] = None,
+                   has_batch_stats: bool = False):
+    """Un-jitted (state, batch, rng) -> (state, out) with in-kernel table Adam.
 
     ``state.opt_state`` must be the pair from ``init_fused_opt_state`` and
     ``state.tx`` its masked transform."""
@@ -199,4 +199,26 @@ def make_fused_update_train_step(model, tables: Dict[int, Tuple[str, ...]],
         )
         return new_state, out
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_fused_update_train_step(*args, **kwargs):
+    """Jitted single-step fused-update trainer (see ``_fused_step_fn``)."""
+    return jax.jit(_fused_step_fn(*args, **kwargs), donate_argnums=(0,))
+
+
+def make_fused_multi_step(num_steps: int, *args, **kwargs):
+    """Fused K-step trainer: one dispatch scans ``num_steps`` fused-update
+    steps over a stacked batch pytree (leading axis K; plans are arrays, so
+    ``batch["emb_plan"]`` stacks like any other leaf).  Amortizes the host
+    dispatch gap the same way ``steps.make_multi_step`` does for the standard
+    step; returns per-step outputs with a leading [K] axis."""
+    single = _fused_step_fn(*args, **kwargs)
+
+    def multi_step(state: TrainState, stacked_batches, rng):
+        def body(st, batch):
+            return single(st, batch, rng)
+
+        return jax.lax.scan(body, state, stacked_batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))

@@ -245,18 +245,18 @@ class RankTrainer(_BaseTrainer):
         self._std_step = self._train_step
         # fuse the big tables' Adam update into the planned backward kernel
         # (docs/perf_notes.md §1) — single-device, fresh-state, plain-Adam only
-        if (mesh is None and not resume_from and steps_per_call == 1
-                and not self._pending_pretrained):
+        if mesh is None and not resume_from and not self._pending_pretrained:
             from .fused_update import maybe_enable_fused_update
             from .steps import strip_host_keys as _shk
 
             sb, _ = _shk(sample_batch)
             sb = self._attach_plan(dict(sb))
-            self.state, fstep = maybe_enable_fused_update(
+            self.state, fstep, ftables = maybe_enable_fused_update(
                 self.state, model, sb, lr, len(train_loader),
                 lr_scheduler_type, scheduler_params)
             if fstep is not None:
                 self._fused_step = fstep
+                self._fused_tables = ftables
                 self._train_step = fstep
                 logger.info("Embedding Adam update fused into the planned "
                             "backward kernel")
@@ -265,7 +265,16 @@ class RankTrainer(_BaseTrainer):
         self._profile_dir = profile_dir
         self._steps_per_call = max(1, int(steps_per_call))
         if self._steps_per_call > 1:
-            self._multi_step = make_multi_step(self._has_bs, self._steps_per_call)
+            if getattr(self, "_fused_step", None) is not None:
+                from .fused_update import make_fused_multi_step
+
+                self._multi_step = make_fused_multi_step(
+                    self._steps_per_call, model, self._fused_tables, lr,
+                    len(train_loader), lr_scheduler_type, scheduler_params,
+                    has_batch_stats=self._has_bs)
+            else:
+                self._multi_step = make_multi_step(self._has_bs,
+                                                   self._steps_per_call)
 
         logger.info("Model Starting Training")
         best_epoch, best_metric = -1, -np.inf

@@ -81,7 +81,7 @@ def time_step(step, st, reps=30):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-fstate, fstep = maybe_enable_fused_update(state, model, batch, 1e-3, 1)
+fstate, fstep, _ = maybe_enable_fused_update(state, model, batch, 1e-3, 1)
 print("fused step:", round(time_step(fstep, fstate), 2), "ms")
 
 state2 = create_train_state(model, batch, make_optimizer(1e-3, 1),

@@ -82,7 +82,7 @@ def test_fused_step_matches_standard_step():
         state = create_train_state(model, batch,
                                    make_optimizer(1e-3, steps_per_epoch=1), rng)
         if fused:
-            state, step = maybe_enable_fused_update(state, model, batch,
+            state, step, _ = maybe_enable_fused_update(state, model, batch,
                                                     lr=1e-3, steps_per_epoch=1)
             assert step is not None
         else:
@@ -121,7 +121,7 @@ def test_fused_step_dense_semantics_moments_decay():
     attach_emb_plan(b1, model.spec, 32)
     state = create_train_state(model, b1, make_optimizer(1e-3, 1),
                                jax.random.PRNGKey(0))
-    state, step = maybe_enable_fused_update(state, model, b1, 1e-3, 1)
+    state, step, _ = maybe_enable_fused_update(state, model, b1, 1e-3, 1)
     state, _ = step(state, b1, jax.random.PRNGKey(1))
     _, emb_state = state.opt_state
     (key, slots), = emb_state.items()
@@ -136,6 +136,41 @@ def test_fused_step_dense_semantics_moments_decay():
     assert not np.allclose(mu1, mu2)
 
 
+@tpu_only
+def test_fused_multi_step_matches_single_steps():
+    """K scanned fused steps == K dispatched fused steps (same rng fold)."""
+    from rec_pangu_tpu.train.fused_update import make_fused_multi_step
+
+    enc, data = _ranking_fixture()
+    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=32)
+    batch = dict(data)
+    attach_emb_plan(batch, model.spec, 32)
+    rng, srng = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    K = 3
+
+    state = create_train_state(model, batch, make_optimizer(1e-3, 1), rng)
+    state, step, tables = maybe_enable_fused_update(state, model, batch,
+                                                    1e-3, 1)
+    assert step is not None
+    single = state
+    losses = []
+    for _ in range(K):
+        single, out = step(single, batch, srng)
+        losses.append(float(out["loss"]))
+
+    state2 = create_train_state(model, batch, make_optimizer(1e-3, 1), rng)
+    state2, _, _ = maybe_enable_fused_update(state2, model, batch, 1e-3, 1)
+    multi = make_fused_multi_step(K, model, tables, 1e-3, 1)
+    stacked = jax.tree.map(lambda x: np.stack([np.asarray(x)] * K), batch)
+    state2, outs = multi(state2, stacked, srng)
+
+    np.testing.assert_allclose(np.asarray(outs["loss"]), losses, rtol=1e-6)
+    assert int(state2.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(single.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_applicability_gates():
     """Runs on any backend: CPU must never enable the fused path."""
     enc, data = _ranking_fixture(batch=8)
@@ -147,5 +182,5 @@ def test_applicability_gates():
                                jax.random.PRNGKey(0))
     if jax.default_backend() == "cpu" or "emb_plan" not in batch:
         assert fused_update_applicable(model, state.params, batch) is None
-        _, step = maybe_enable_fused_update(state, model, batch, 1e-3, 1)
+        _, step, _t = maybe_enable_fused_update(state, model, batch, 1e-3, 1)
         assert step is None
