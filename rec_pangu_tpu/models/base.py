@@ -118,8 +118,15 @@ class SequenceModelBase(nn.Module):
         if self.config.get("loss_type", "full") == "sampled":
             return self.calculate_sampled_loss(
                 user_emb, pos_item, int(self.config.get("num_negatives", 1024)))
-        from ..ops.softmax_ce import full_softmax_ce
+        from ..ops.softmax_ce import (CHUNK_V, _FUSED_MIN_VOCAB,
+                                      full_softmax_ce, fused_softmax_ce_padded)
 
+        table = self.item_emb.table
+        vocab = self.item_emb.vocab_size
+        if vocab >= _FUSED_MIN_VOCAB and table.shape[0] % CHUNK_V == 0:
+            # stream the raw padded table — skips the all_items() slice+mask
+            # copy and the CE pad/slice copies (3 full-table passes per step)
+            return fused_softmax_ce_padded(user_emb, table, pos_item, vocab)
         # streams the [B, V] logits chunk-wise for big vocabularies instead
         # of materializing them (ops/softmax_ce.py); naive below the threshold
         return full_softmax_ce(user_emb, self.output_items(), pos_item)

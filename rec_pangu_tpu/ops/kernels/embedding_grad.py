@@ -137,11 +137,13 @@ def _tile_rows(num_rows: int) -> int:
 
 
 def padded_rows(total_rows: int) -> int:
-    """Param-table row count: big tables are padded to a tile multiple so the
-    planned backward needs no output slice; the pad rows are never indexed
-    (grad stays 0, Adam leaves them at init)."""
+    """Param-table row count: big tables are padded to an 8192 multiple so
+    (a) the planned backward writes the grad at its final shape with no
+    [:num_rows] slice and (b) the streaming softmax-CE (ops/softmax_ce.py)
+    can chunk the raw table with zero pad/slice copies; the pad rows are
+    never indexed (grad stays 0, Adam leaves them at init)."""
     if total_rows >= _MIN_TABLE_ROWS:
-        return -(-total_rows // 1024) * 1024
+        return -(-total_rows // 8192) * 8192
     return total_rows
 
 

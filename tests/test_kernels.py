@@ -182,6 +182,42 @@ def test_fused_softmax_ce_matches_naive():
     np.testing.assert_allclose(np.asarray(g1i), np.asarray(g2i), atol=tol_i)
 
 
+def test_padded_softmax_ce_matches_all_items_semantics():
+    """The zero-copy padded CE == naive CE over all_items() (row 0 zeroed,
+    pad rows excluded) — values AND both gradients, incl. no grad to row 0
+    or the pad rows."""
+    from rec_pangu_tpu.ops.softmax_ce import CHUNK_V, fused_softmax_ce_padded
+
+    rng = np.random.default_rng(7)
+    B, vocab, D = 32, 12_000, 16
+    v_pad = -(-vocab // CHUNK_V) * CHUNK_V
+    user = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    table = jnp.asarray(rng.standard_normal((v_pad, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(1, vocab, (B,)), jnp.int32)
+
+    def naive(u, t):
+        all_items = t[:vocab] * (jnp.arange(vocab) != 0)[:, None]
+        scores = jnp.dot(u, all_items.T, preferred_element_type=jnp.float32)
+        lp = jax.nn.log_softmax(scores, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(lp, pos[:, None], axis=1)[:, 0])
+
+    def padded(u, t):
+        return fused_softmax_ce_padded(u, t, pos, vocab)
+
+    l1, l2 = naive(user, table), padded(user, table)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=5e-4)
+
+    g1u, g1t = jax.grad(naive, argnums=(0, 1))(user, table)
+    g2u, g2t = jax.grad(padded, argnums=(0, 1))(user, table)
+    tol_u = 5e-3 * float(np.abs(np.asarray(g1u)).max())
+    tol_t = 5e-3 * float(np.abs(np.asarray(g1t)).max())
+    np.testing.assert_allclose(np.asarray(g1u), np.asarray(g2u), atol=tol_u)
+    np.testing.assert_allclose(np.asarray(g1t), np.asarray(g2t), atol=tol_t)
+    g2t = np.asarray(g2t)
+    assert np.all(g2t[0] == 0), "row 0 must get no gradient"
+    assert np.all(g2t[vocab:] == 0), "pad rows must get no gradient"
+
+
 @pytest.mark.skipif(jax.default_backend() == "cpu",
                     reason="pallas TPU kernel needs a TPU backend")
 def test_planned_gather_compact_plan_tpu():
