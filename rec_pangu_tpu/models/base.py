@@ -84,6 +84,14 @@ class SequenceModelBase(nn.Module):
     enc_dict: Any = None
     config: Any = None
 
+    # True on models whose ONLY item-table uses in the train forward are the
+    # planned hist-list lookup and the full-softmax CE — the two paths the
+    # fused-update capture mechanism covers (train/fused_update.py).  Models
+    # with extra table reads (target-item gathers for interest selection,
+    # contrastive augmentations, in-forward renorms) must stay False or their
+    # table gradient would silently lose those terms.
+    fused_update_compatible = False
+
     def setup_base(self) -> None:
         item_col = self.config.get("item_col", "item_id")
         vocab = int(self.enc_dict[item_col][OOV_SENTINEL])
@@ -106,7 +114,8 @@ class SequenceModelBase(nn.Module):
         """Full item table [V, D] (row 0 zeroed; parity: base_model.py:155-162)."""
         return self.item_emb.all_items()
 
-    def calculate_loss(self, user_emb: jnp.ndarray, pos_item: jnp.ndarray) -> jnp.ndarray:
+    def calculate_loss(self, user_emb: jnp.ndarray, pos_item: jnp.ndarray,
+                       plan: Optional[dict] = None) -> jnp.ndarray:
         """Training loss of user_emb against the item corpus.
 
         Default is the reference's full-softmax CE (base_model.py:124-138 —
@@ -114,7 +123,19 @@ class SequenceModelBase(nn.Module):
         to sampled softmax with ``config['num_negatives']`` (default 1024)
         shared uniform negatives — the scale knob for industrial vocabularies
         where B x V no longer fits the step budget.
+
+        ``plan`` (``batch["emb_plan"]``, passed by fused-update-compatible
+        models) may carry a 'capture' dict: the CE's table gradient then
+        routes to the zero leaf ``capture["ce_t"]`` and the table itself is
+        held out of autodiff (train/fused_update.py sequence path).
         """
+        cap = plan.get("capture") if isinstance(plan, dict) else None
+        if cap is not None and "ce_t" in cap:
+            from ..ops.softmax_ce import fused_softmax_ce_captured
+
+            return fused_softmax_ce_captured(
+                user_emb, jax.lax.stop_gradient(self.item_emb.table),
+                pos_item, cap["ce_t"], self.item_emb.vocab_size)
         if self.config.get("loss_type", "full") == "sampled":
             return self.calculate_sampled_loss(
                 user_emb, pos_item, int(self.config.get("num_negatives", 1024)))

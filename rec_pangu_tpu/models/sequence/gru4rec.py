@@ -9,6 +9,8 @@ from ..base import SequenceModelBase, register_model
 
 @register_model("GRU4Rec")
 class GRU4Rec(SequenceModelBase):
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.gru = GRU4RecEncoder(self.embedding_dim, num_layers=2)
@@ -19,5 +21,6 @@ class GRU4Rec(SequenceModelBase):
         user_emb = self.gru(seq_emb, lengths)
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

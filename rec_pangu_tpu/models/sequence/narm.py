@@ -11,6 +11,8 @@ from ..base import SequenceModelBase, register_model
 
 @register_model("NARM")
 class NARM(SequenceModelBase):
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.n_layers = int(self.config.get("n_layers", 2))
@@ -45,5 +47,6 @@ class NARM(SequenceModelBase):
         user_emb = self.b(c_t)
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

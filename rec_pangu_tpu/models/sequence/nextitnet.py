@@ -9,6 +9,8 @@ from ..base import SequenceModelBase, register_model
 
 @register_model("NextItNet")
 class NextItNet(SequenceModelBase):
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -26,5 +28,6 @@ class NextItNet(SequenceModelBase):
         user_emb = self.nextit_layer(seq_emb, lengths, train)
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

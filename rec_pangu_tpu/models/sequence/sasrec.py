@@ -10,6 +10,8 @@ from ..base import SequenceModelBase, register_model
 
 @register_model("SASRec")
 class SASRec(SequenceModelBase):
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -32,5 +34,6 @@ class SASRec(SequenceModelBase):
         user_emb = self.gather_indexes(output, jnp.clip(lengths - 1, 0, None))
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

@@ -9,6 +9,8 @@ from ..base import SequenceModelBase, register_model
 
 @register_model("STAMP")
 class STAMP(SequenceModelBase):
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.stamp_layer = STAMPLayer(self.embedding_dim,
@@ -20,5 +22,6 @@ class STAMP(SequenceModelBase):
         user_emb = self.stamp_layer(seq_emb, lengths, train)
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

@@ -9,6 +9,8 @@ from ..base import SequenceModelBase, register_model
 
 @register_model("YotubeDNN")
 class YotubeDNN(SequenceModelBase):
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
 
@@ -18,5 +20,6 @@ class YotubeDNN(SequenceModelBase):
         user_emb = jnp.mean(seq_emb * mask, axis=1)
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

@@ -140,9 +140,20 @@ class ItemEmbedding(nn.Module):
         """Lookup with optional host sort plan (``batch["emb_plan"]``): the
         trainer attaches one for the hist-list lookup so the backward skips
         XLA's row-serial scatter (the mask's backward composes on top)."""
-        from .kernels.embedding_grad import (fused_gather, plan_matches,
-                                             planned_gather, planned_path_ok)
+        from .kernels.embedding_grad import (_planned_value, fused_gather,
+                                             plan_matches, planned_gather,
+                                             planned_path_ok)
 
+        cap = plan.get("capture") if isinstance(plan, dict) else None
+        if cap is not None and "hist" in cap:
+            # fused-update mode (train/fused_update.py seq path): the table's
+            # update is applied by the planned-Adam kernel from the cotangent
+            # of this zero 'capture' leaf; the table is held out of autodiff
+            base_plan = {k: v for k, v in plan.items() if k != "capture"}
+            val = _planned_value(jax.lax.stop_gradient(self.table), ids,
+                                 base_plan)
+            emb = val + cap["hist"].reshape(val.shape)
+            return emb * (ids != 0)[..., None]
         if (plan is not None
                 and planned_path_ok(self.vocab_size, ids.size,
                                     self.embedding_dim)
@@ -153,8 +164,11 @@ class ItemEmbedding(nn.Module):
         return emb * (ids != 0)[..., None]
 
 
-def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int) -> dict:
-    """Host-side: sort plan for the sequence hist-item lookup."""
+def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
+                     force: bool = False) -> dict:
+    """Host-side: sort plan for the sequence hist-item lookup.  ``force``
+    waives the lookup-count threshold (a perf gate only) — the fused-update
+    train step needs a plan on EVERY batch, including a small final one."""
     from .kernels.embedding_grad import (make_sort_plan, padded_rows,
                                          planned_path_ok)
 
@@ -164,7 +178,8 @@ def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int) -> dict:
     if hist is None or "emb_plan" in batch:
         return batch
     n = int(np.prod(hist.shape))
-    if not planned_path_ok(vocab_size, n, embedding_dim):
+    if not planned_path_ok(vocab_size, n if not force else 2**30,
+                           embedding_dim):
         return batch
     compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
     batch["emb_plan"] = make_sort_plan(

@@ -49,8 +49,17 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # six double-buffered [D, R] blocks must fit
 
 
 def _adam_tile_kernel(starts_ref, hyper_ref, ids_hbm, rows_hbm, p_ref, m_ref,
-                      v_ref, p_out, m_out, v_out, acc_ref, ids_buf, rows_buf,
-                      qn_ref, sem_i, sem_r, *, dim, tile_rows, mode, t_tiles):
+                      v_ref, *rest, dim, tile_rows, mode, t_tiles,
+                      has_dense=False):
+    if has_dense:
+        # an extra affine-indexed [D, tile] dense-gradient block (e.g. the
+        # streaming softmax-CE's d_items — train/fused_update.py seq path)
+        (g_ref, p_out, m_out, v_out, acc_ref, ids_buf, rows_buf,
+         qn_ref, sem_i, sem_r) = rest
+    else:
+        (p_out, m_out, v_out, acc_ref, ids_buf, rows_buf,
+         qn_ref, sem_i, sem_r) = rest
+        g_ref = None
     t = pl.program_id(0)
     c0 = starts_ref[t]
     c1 = starts_ref[t + 1]
@@ -139,6 +148,8 @@ def _adam_tile_kernel(starts_ref, hyper_ref, ids_hbm, rows_hbm, p_ref, m_ref,
     jax.lax.fori_loop(c0, c1, body, 0)
 
     g = acc_ref[:, :]
+    if g_ref is not None:
+        g = g + g_ref[:, :]
     lr = hyper_ref[0]
     b1 = hyper_ref[1]
     b2 = hyper_ref[2]
@@ -154,14 +165,15 @@ def _adam_tile_kernel(starts_ref, hyper_ref, ids_hbm, rows_hbm, p_ref, m_ref,
         jnp.sqrt(nu * inv_b2c) + eps)
 
 
-def fused_adam_fits(num_rows: int, dim: int) -> bool:
-    """Six double-buffered [dim, tile] f32 blocks must fit VMEM."""
+def fused_adam_fits(num_rows: int, dim: int, has_dense: bool = False) -> bool:
+    """Six (seven with a dense-grad stream) double-buffered [dim, tile] f32
+    blocks must fit VMEM."""
     tile = _tile_rows(num_rows)
-    return 12 * dim * tile * 4 <= _VMEM_BUDGET
+    return (14 if has_dense else 12) * dim * tile * 4 <= _VMEM_BUDGET
 
 
 def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
-                        interpret: bool = False):
+                        dense_grad_t=None, interpret: bool = False):
     """One dense-semantics Adam step on a planned embedding table.
 
     Args:
@@ -172,6 +184,10 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
       table, mu, nu: [V_pad, D] current param and Adam moments
         (V_pad a tile multiple — ``padded_rows``).
       hyper: f32[8] = [lr_t, b1, b2, eps, 1/(1-b1^t), 1/(1-b2^t), 0, 0].
+      dense_grad_t: optional [D, V_pad] dense gradient (e.g. the streaming
+        softmax-CE's transposed d_items) added tile-wise to the accumulated
+        sparse gradient before the Adam math — replaces a separate
+        full-table add + optimizer pass.
 
     Returns (new_table, new_mu, new_nu); inputs are aliased to outputs, so
     callers should donate them (the jitted train step does).
@@ -201,14 +217,25 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
         return pl.BlockSpec((dim, tile), lambda t, starts, hyper: (0, t),
                             memory_space=pltpu.VMEM)
 
+    has_dense = dense_grad_t is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # ids stream [K, 128], HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # rows^T [D, K*128], HBM
+        big("in"), big("in"), big("in"),
+    ]
+    operands = [plan["tile_starts"], hyper, ids_stream, sorted_rows_t,
+                table.T, mu.T, nu.T]
+    if has_dense:
+        if dense_grad_t.shape != (dim, num_rows):
+            raise ValueError(
+                f"dense_grad_t must be [D, V_pad] = {(dim, num_rows)}; got "
+                f"{dense_grad_t.shape}")
+        in_specs.append(big("in"))
+        operands.append(dense_grad_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_starts, hyper
         grid=(t_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # ids stream [K, 128], HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # rows^T [D, K*128], HBM
-            big("in"), big("in"), big("in"),
-        ],
+        in_specs=in_specs,
         out_specs=[big("out"), big("out"), big("out")],
         scratch_shapes=[
             pltpu.VMEM((dim, tile), jnp.float32),    # grad accumulator
@@ -220,16 +247,17 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
         ],
     )
     shape = jax.ShapeDtypeStruct((dim, num_rows), jnp.float32)
+    # operand indices include the two scalar-prefetch args
+    aliases = ({4: 0, 5: 1, 6: 2})
     new_p, new_m, new_v = pl.pallas_call(
         functools.partial(_adam_tile_kernel, dim=dim, tile_rows=tile,
-                          mode=_grad_mode(), t_tiles=t_tiles),
+                          mode=_grad_mode(), t_tiles=t_tiles,
+                          has_dense=has_dense),
         grid_spec=grid_spec,
         out_shape=[shape, shape, shape],
-        # operand indices include the two scalar-prefetch args
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(plan["tile_starts"], hyper, ids_stream, sorted_rows_t,
-      table.T, mu.T, nu.T)
+    )(*operands)
     # .T back into [V, D]: a layout bitcast of the column-major storage
     return new_p.T, new_m.T, new_v.T
 

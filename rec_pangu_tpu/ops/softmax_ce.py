@@ -161,21 +161,11 @@ def _padded_ce(valid_v: int, zero_row0: bool):
         (m, s, ps), _ = jax.lax.scan(step, init, jnp.arange(k))
         return m + jnp.log(s), ps
 
-    @jax.custom_vjp
-    def ce(user, items_p, pos):
-        lse, ps = _lse_pos(user, items_p.T, pos)
-        return jnp.mean(lse - ps)
-
-    def fwd(user, items_p, pos):
-        lse, ps = _lse_pos(user, items_p.T, pos)
-        return jnp.mean(lse - ps), (user, items_p, pos, lse)
-
-    def bwd(res, g):
-        user, items_p, pos, lse = res
+    def _bwd_scan(user, items_p, pos, lse, g):
+        """(d_user, d_items_t [D, V_pad]) — both already scaled by g/B."""
         v_pad = items_p.shape[0]
         items_t = items_p.T
-        b = user.shape[0]
-        scale = g / b
+        scale = g / user.shape[0]
 
         def step(carry, idx):
             d_user, d_items_t = carry
@@ -205,10 +195,48 @@ def _padded_ce(valid_v: int, zero_row0: bool):
                 jnp.zeros((user.shape[1], v_pad), jnp.float32))
         (d_user, d_items_t), _ = jax.lax.scan(
             step, init, jnp.arange(v_pad // CHUNK_V))
+        return d_user * scale, d_items_t
+
+    @jax.custom_vjp
+    def ce(user, items_p, pos):
+        lse, ps = _lse_pos(user, items_p.T, pos)
+        return jnp.mean(lse - ps)
+
+    def fwd(user, items_p, pos):
+        lse, ps = _lse_pos(user, items_p.T, pos)
+        return jnp.mean(lse - ps), (user, items_p, pos, lse)
+
+    def bwd(res, g):
+        user, items_p, pos, lse = res
+        d_user, d_items_t = _bwd_scan(user, items_p, pos, lse, g)
         # .T back to the param's [V_pad, D]: a bitcast of the [D, V] grad
-        return d_user * scale, d_items_t.T, None
+        return d_user, d_items_t.T, None
 
     ce.defvjp(fwd, bwd)
+
+    # capture variant: the table is a nondiff bystander (callers pass it under
+    # stop_gradient) and the gradient routes to ``cap_t`` [D, V_pad] — zeros
+    # whose cotangent IS d_items_t, feeding the fused-Adam kernel directly
+    # (train/fused_update.py sequence path) with no separate add/optimizer
+    # pass over the table
+    @jax.custom_vjp
+    def ce_cap(user, items_p, pos, cap_t):
+        lse, ps = _lse_pos(user, items_p.T, pos)
+        return jnp.mean(lse - ps)
+
+    def fwd_cap(user, items_p, pos, cap_t):
+        lse, ps = _lse_pos(user, items_p.T, pos)
+        return jnp.mean(lse - ps), (user, items_p, pos, lse)
+
+    def bwd_cap(res, g):
+        user, items_p, pos, lse = res
+        d_user, d_items_t = _bwd_scan(user, items_p, pos, lse, g)
+        # the table cotangent is structurally zero here (callers hold the
+        # table out of autodiff); XLA DCEs the zeros_like
+        return d_user, jnp.zeros_like(items_p), None, d_items_t
+
+    ce_cap.defvjp(fwd_cap, bwd_cap)
+    ce.capture_variant = ce_cap
     return ce
 
 
@@ -226,6 +254,16 @@ def fused_softmax_ce_padded(user_emb: jnp.ndarray, items_padded: jnp.ndarray,
             f"use fused_softmax_ce (copying) or pad the table (padded_rows)")
     return _padded_ce(int(valid_v), bool(zero_row0))(
         user_emb, items_padded, pos_item.reshape(-1))
+
+
+def fused_softmax_ce_captured(user_emb: jnp.ndarray, items_padded: jnp.ndarray,
+                              pos_item: jnp.ndarray, cap_t: jnp.ndarray,
+                              valid_v: int, zero_row0: bool = True) -> jnp.ndarray:
+    """``fused_softmax_ce_padded`` whose table gradient routes to ``cap_t``
+    ([D, V_pad] zeros) instead of the table — for the fused-update train step
+    (the caller must pass the table under ``stop_gradient``)."""
+    return _padded_ce(int(valid_v), bool(zero_row0)).capture_variant(
+        user_emb, items_padded, pos_item.reshape(-1), cap_t)
 
 
 # naive path keeps bit-parity with the reference on small vocabularies

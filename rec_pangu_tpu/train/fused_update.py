@@ -207,6 +207,139 @@ def make_fused_update_train_step(*args, **kwargs):
     return jax.jit(_fused_step_fn(*args, **kwargs), donate_argnums=(0,))
 
 
+# --------------------------------------------------------------------------- #
+# sequence-recall path: planned hist grads + streaming-CE dense grad, both
+# applied by one kernel pass
+# --------------------------------------------------------------------------- #
+def seq_fused_applicable(model, params, sample_batch) -> Optional[dict]:
+    """Gate for the sequence fused update: a ``fused_update_compatible``
+    model (its ONLY table uses are the planned hist lookup + full-softmax CE),
+    a plan-carrying batch, and a big CHUNK_V-aligned table that fits the
+    dense-stream kernel."""
+    from ..ops.softmax_ce import _FUSED_MIN_VOCAB, CHUNK_V
+
+    if not getattr(model, "fused_update_compatible", False):
+        return None
+    cfg = getattr(model, "config", None) or {}
+    if cfg.get("loss_type", "full") != "full":
+        return None
+    hist = sample_batch.get("hist_item_list")
+    plan = sample_batch.get("emb_plan")
+    if hist is None or plan is None:
+        return None
+    from ..data.encoder import OOV_SENTINEL
+
+    item_col = cfg.get("item_col", "item_id")
+    enc = getattr(model, "enc_dict", None) or {}
+    if item_col not in enc:
+        return None
+    vocab = int(enc[item_col][OOV_SENTINEL])
+    rows = padded_rows(vocab)
+    if vocab < _FUSED_MIN_VOCAB or rows % CHUNK_V:
+        return None
+    flat = traverse_util.flatten_dict(params)
+    path = ("item_emb", "table")
+    leaf = flat.get(path)
+    if leaf is None or leaf.shape[0] != rows:
+        return None
+    dim = leaf.shape[1]
+    n = int(np.prod(hist.shape))
+    if not planned_path_ok(vocab, n, dim):
+        return None
+    from ..ops.kernels.fused_adam import fused_adam_fits
+
+    if not fused_adam_fits(rows, dim, has_dense=True):
+        return None
+    if not plan_matches(plan, n, rows) or "tile_starts" not in plan:
+        return None
+    return {"path": path, "dim": dim, "rows": rows, "vocab": vocab}
+
+
+def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
+                       lr_scheduler_type: str = "",
+                       scheduler_params: Optional[dict] = None):
+    """Un-jitted sequence train step with in-kernel item-table Adam.
+
+    The capture dict routes BOTH table-gradient sources to zero leaves:
+    ``cap["hist"]`` (the planned hist-lookup rows, ItemEmbedding capture
+    mode) and ``cap["ce_t"]`` (the streaming CE's transposed dense grad,
+    ``fused_softmax_ce_captured``); one ``planned_adam_update`` pass applies
+    their sum — no full-table add or separate optimizer pass."""
+    schedule = make_lr_schedule(lr, steps_per_epoch, lr_scheduler_type,
+                                scheduler_params)
+    path, dim, rows = info["path"], info["dim"], info["rows"]
+    key = "/".join(path)
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {"dropout": step_rng, "routing": jax.random.fold_in(step_rng, 1)}
+        plan = batch["emb_plan"]
+        hist = batch["hist_item_list"]
+        n = int(np.prod(hist.shape))
+
+        def loss_fn(params, cap):
+            b = dict(batch)
+            b["emb_plan"] = {**plan, "capture": cap}
+            out = state.apply_fn({"params": params}, b, True, rngs=rngs)
+            return out["loss"], out
+
+        cap = {"hist": jnp.zeros((n, dim), jnp.float32),
+               "ce_t": jnp.zeros((dim, rows), jnp.float32)}
+        (grads, cap_grads), out = jax.grad(
+            loss_fn, (0, 1), has_aux=True)(state.params, cap)
+
+        base_state, emb_state = state.opt_state
+        updates, new_base = state.tx.update(grads, base_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        hyper = adam_hyper(state.step + 1, schedule(state.step),
+                           ADAM_B1, ADAM_B2, ADAM_EPS)
+        flat = traverse_util.flatten_dict(new_params)
+        table = flat[path]
+        ids = jnp.asarray(hist, jnp.int32).reshape(-1)
+        ids_stream = stream_ids(plan, ids, rows)
+        new_t, new_mu, new_nu = planned_adam_update(
+            plan, ids_stream, cap_grads["hist"], table,
+            emb_state[key]["mu"], emb_state[key]["nu"], hyper,
+            dense_grad_t=cap_grads["ce_t"])
+        flat[path] = new_t
+        new_params = traverse_util.unflatten_dict(flat)
+        new_emb_state = {key: {"mu": new_mu, "nu": new_nu}}
+
+        return state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=(new_base, new_emb_state),
+        ), out
+
+    return train_step
+
+
+def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
+                                  lr: float, steps_per_epoch: int,
+                                  lr_scheduler_type: str = "",
+                                  scheduler_params: Optional[dict] = None):
+    """Sequence-trainer analogue of ``maybe_enable_fused_update``.  Returns
+    (state, train_step, info) with train_step None when not applicable."""
+    import os
+
+    if os.environ.get("REC_PANGU_TPU_FUSED_ADAM", "1") not in ("1", "on", "true"):
+        return state, None, None
+    if int(state.step) != 0 or state.batch_stats is not None:
+        return state, None, None
+    info = seq_fused_applicable(model, state.params, sample_batch)
+    if not info:
+        return state, None, None
+    tx, opt_state = init_fused_opt_state(
+        state.params, {info["dim"]: info["path"]}, lr, steps_per_epoch,
+        lr_scheduler_type, scheduler_params)
+    state = state.replace(tx=tx, opt_state=opt_state)
+    step = jax.jit(_seq_fused_step_fn(model, info, lr, steps_per_epoch,
+                                      lr_scheduler_type, scheduler_params),
+                   donate_argnums=(0,))
+    return state, step, info
+
+
 def make_fused_multi_step(num_steps: int, *args, **kwargs):
     """Fused K-step trainer: one dispatch scans ``num_steps`` fused-update
     steps over a stacked batch pytree (leading axis K; plans are arrays, so

@@ -108,8 +108,9 @@ class _BaseTrainer:
             from ..models.base import OOV_SENTINEL
             from ..ops.embedding import attach_item_plan
 
+            force = getattr(self, "_fused_step", None) is not None
             return attach_item_plan(batch, int(enc[item_col][OOV_SENTINEL]),
-                                    int(cfg["embedding_dim"]))
+                                    int(cfg["embedding_dim"]), force=force)
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
@@ -446,6 +447,20 @@ class SequenceTrainer(_BaseTrainer):
         sample_batch, _ = strip_host_keys(next(iter(train_loader)))
         self._build_state(model, sample_batch, lr, len(train_loader),
                           lr_scheduler_type, scheduler_params, seed, mesh=mesh)
+        # fuse the item table's Adam update into the planned backward kernel,
+        # with the streaming CE's dense grad as an extra kernel stream
+        if mesh is None:
+            from .fused_update import maybe_enable_seq_fused_update
+
+            sb = self._attach_plan(dict(sample_batch))
+            self.state, fstep, _finfo = maybe_enable_seq_fused_update(
+                self.state, model, sb, lr, len(train_loader),
+                lr_scheduler_type, scheduler_params)
+            if fstep is not None:
+                self._fused_step = fstep
+                self._train_step = fstep
+                logger.info("Item-table Adam update fused into the planned "
+                            "backward kernel (hist + softmax-CE grads)")
 
         logger.info("Model Starting Training")
         log_rows = []

@@ -171,6 +171,90 @@ def test_fused_multi_step_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def _seq_fixture(batch=512, L=24, vocab=70_000, seed=0):
+    """Above the planned-path + fused-CE thresholds (vocab >= 64k/65536)."""
+    rng = np.random.default_rng(seed)
+    enc = {"item_id": {"vocab_size": vocab}}
+    data = {
+        "hist_item_list": rng.integers(1, vocab, (batch, L), dtype=np.int32),
+        "hist_mask_list": (rng.random((batch, L)) < 0.9).astype(np.float32),
+        "target_item": rng.integers(1, vocab, (batch,), dtype=np.int32),
+    }
+    return enc, data
+
+
+@tpu_only
+def test_seq_fused_step_matches_standard_step():
+    """The sequence fused step (planned hist grads + streaming-CE dense grad
+    in one kernel) matches the standard step: params bit-tight after 1 step,
+    loss trajectory over 3."""
+    from rec_pangu_tpu.ops.embedding import attach_item_plan
+    from rec_pangu_tpu.train.fused_update import maybe_enable_seq_fused_update
+
+    enc, data = _seq_fixture()
+    model = get_model("GRU4Rec")(enc_dict=enc,
+                                 config={"embedding_dim": 32, "max_length": 24})
+    batch = dict(data)
+    attach_item_plan(batch, 70_000, 32, force=True)
+    assert "emb_plan" in batch
+
+    rng, srng = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    def run(fused: bool, steps: int = 3):
+        state = create_train_state(model, batch, make_optimizer(1e-3, 1), rng)
+        if fused:
+            state, step, info = maybe_enable_seq_fused_update(
+                state, model, batch, 1e-3, 1)
+            assert step is not None, "fixture must qualify"
+        else:
+            step = make_train_step(state.batch_stats is not None)
+        losses = []
+        for _ in range(steps):
+            state, out = step(state, batch, srng)
+            losses.append(float(out["loss"]))
+        return state, losses
+
+    f1, _ = run(True, steps=1)
+    s1, _ = run(False, steps=1)
+    flat_f = jax.tree_util.tree_leaves_with_path(f1.params)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(s1.params))
+    for path, a in flat_f:
+        b = flat_s[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+    _, f_losses = run(True)
+    _, s_losses = run(False)
+    np.testing.assert_allclose(f_losses, s_losses, rtol=1e-3)
+
+
+def test_seq_applicability_gates():
+    """Runs on any backend: incompatible models / CPU never fuse."""
+    from rec_pangu_tpu.ops.embedding import attach_item_plan
+    from rec_pangu_tpu.train.fused_update import (
+        maybe_enable_seq_fused_update, seq_fused_applicable)
+
+    enc, data = _seq_fixture(batch=8)
+    cfg = {"embedding_dim": 32, "max_length": 24, "K": 2}
+    batch = dict(data)
+    attach_item_plan(batch, 70_000, 32)
+    # ComirecSA reads the target's embedding for interest selection — its
+    # table gradient has a term the capture paths do not cover
+    model = get_model("ComirecSA")(enc_dict=enc, config=cfg)
+    assert not getattr(model, "fused_update_compatible", False)
+    state = create_train_state(model, batch, make_optimizer(1e-3, 1),
+                               jax.random.PRNGKey(0))
+    assert seq_fused_applicable(model, state.params, batch) is None
+
+    if jax.default_backend() == "cpu":
+        model = get_model("SASRec")(enc_dict=enc, config=cfg)
+        state = create_train_state(model, batch, make_optimizer(1e-3, 1),
+                                   jax.random.PRNGKey(0))
+        _, step, _i = maybe_enable_seq_fused_update(state, model, batch, 1e-3, 1)
+        assert step is None
+
+
 def test_applicability_gates():
     """Runs on any backend: CPU must never enable the fused path."""
     enc, data = _ranking_fixture(batch=8)
