@@ -217,3 +217,18 @@ class SequenceDatasetV2(SequenceDataset):
             str(u): [int(items[len(items) - delta])]
             for u, items in zip(self.user_list, self._item_lists)
         }
+
+
+def seq_collate(batch):
+    """Stack (hist_items, hist_mask, target) samples into batch arrays.
+
+    Parity: rec_pangu/dataset/sequence_dataset.py:215-225 (``seq_collate``).
+    The loaders here emit fixed-shape numpy batches directly, so this helper
+    exists for API compatibility with code that collates per-sample tuples —
+    e.g. custom eval loops ported from the reference.  Returns
+    (hist_item [B, L] int64, hist_mask [B, L] int64, target list of len B).
+    """
+    hist_item = np.stack([np.asarray(s[0]) for s in batch]).astype(np.int64)
+    hist_mask = np.stack([np.asarray(s[1]) for s in batch]).astype(np.int64)
+    item_list = [s[2] for s in batch]
+    return hist_item, hist_mask, item_list

@@ -139,12 +139,17 @@ class SequenceModelBase(nn.Module):
         if self.config.get("loss_type", "full") == "sampled":
             return self.calculate_sampled_loss(
                 user_emb, pos_item, int(self.config.get("num_negatives", 1024)))
+        import os
+
         from ..ops.softmax_ce import (CHUNK_V, _FUSED_MIN_VOCAB,
                                       full_softmax_ce, fused_softmax_ce_padded)
 
         table = self.item_emb.table
         vocab = self.item_emb.vocab_size
-        if vocab >= _FUSED_MIN_VOCAB and table.shape[0] % CHUNK_V == 0:
+        fused_ok = os.environ.get("REC_PANGU_TPU_FUSED_CE", "auto") \
+            not in ("0", "off", "false")  # the naive-path parity escape hatch
+        if (fused_ok and vocab >= _FUSED_MIN_VOCAB
+                and table.shape[0] % CHUNK_V == 0):
             # stream the raw padded table — skips the all_items() slice+mask
             # copy and the CE pad/slice copies (3 full-table passes per step)
             return fused_softmax_ce_padded(user_emb, table, pos_item, vocab)

@@ -202,6 +202,11 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
     t_tiles = num_rows // tile
     if "tile_starts" not in plan:
         raise ValueError("plan lacks tile_starts — rebuild with make_sort_plan")
+    if plan["tile_starts"].shape[0] != t_tiles + 1:
+        raise ValueError(
+            f"sort plan was built for a different table: tile_starts has "
+            f"{plan['tile_starts'].shape[0]} entries, expected {t_tiles + 1} "
+            f"(= {num_rows} rows / tile {tile} + 1)")
     k_chunks = plan["meta"].shape[0]
     expected = plan_chunks(n, num_rows)
     if k_chunks != expected:

@@ -31,18 +31,11 @@ def _pad_items(items: jnp.ndarray):
     return items, v, v_pad
 
 
-def _chunk_logits(user, items_chunk, base, valid_v, zero_row0=False):
-    """[B, C] logits with out-of-vocab padding rows masked to -inf.
-
-    ``zero_row0`` pins column 0's logit to 0.0 — the value it has when the
-    caller materializes ``all_items()`` (padding row zeroed) — so the raw
-    parameter table can be streamed without that full-table copy."""
+def _chunk_logits(user, items_chunk, base, valid_v):
+    """[B, C] logits with out-of-vocab padding rows masked to -inf."""
     logits = jnp.dot(user, items_chunk.T, preferred_element_type=jnp.float32)
     col = base + jnp.arange(items_chunk.shape[0])
-    logits = jnp.where(col[None, :] < valid_v, logits, -jnp.inf)
-    if zero_row0:
-        logits = jnp.where(col[None, :] == 0, 0.0, logits)
-    return logits
+    return jnp.where(col[None, :] < valid_v, logits, -jnp.inf)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

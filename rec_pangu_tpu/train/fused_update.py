@@ -108,13 +108,16 @@ def init_fused_opt_state(params, tables: Dict[int, Tuple[str, ...]], lr: float,
 def maybe_enable_fused_update(state: TrainState, model, sample_batch,
                               lr: float, steps_per_epoch: int,
                               lr_scheduler_type: str = "",
-                              scheduler_params: Optional[dict] = None):
+                              scheduler_params: Optional[dict] = None,
+                              optimizer: str = "adam"):
     """Swap a freshly-initialized TrainState onto the fused-update path when
     it applies.  Returns (state, train_step, tables) — train_step is None
     (and the state untouched) when the model/batch/backend does not qualify,
     the optimizer is not plain Adam, or REC_PANGU_TPU_FUSED_ADAM=0."""
     import os
 
+    if optimizer.lower() != "adam":
+        return state, None, None  # the kernel implements plain-Adam math only
     if os.environ.get("REC_PANGU_TPU_FUSED_ADAM", "1") not in ("1", "on", "true"):
         return state, None, None
     if int(state.step) != 0:
@@ -318,13 +321,18 @@ def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
 def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
                                   lr: float, steps_per_epoch: int,
                                   lr_scheduler_type: str = "",
-                                  scheduler_params: Optional[dict] = None):
+                                  scheduler_params: Optional[dict] = None,
+                                  optimizer: str = "adam"):
     """Sequence-trainer analogue of ``maybe_enable_fused_update``.  Returns
     (state, train_step, info) with train_step None when not applicable."""
     import os
 
+    if optimizer.lower() != "adam":
+        return state, None, None  # the kernel implements plain-Adam math only
     if os.environ.get("REC_PANGU_TPU_FUSED_ADAM", "1") not in ("1", "on", "true"):
         return state, None, None
+    if os.environ.get("REC_PANGU_TPU_FUSED_CE", "auto") in ("0", "off", "false"):
+        return state, None, None  # capture CE relies on the padded fused path
     if int(state.step) != 0 or state.batch_stats is not None:
         return state, None, None
     info = seq_fused_applicable(model, state.params, sample_batch)
