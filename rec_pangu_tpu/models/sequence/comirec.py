@@ -24,6 +24,10 @@ def best_interest(multi_interest_emb: jnp.ndarray, item_e: jnp.ndarray) -> jnp.n
 
 @register_model("ComirecSA")
 class ComirecSA(SequenceModelBase):
+    # the target-item read feeds only argmax (no gradient) - see
+    # best_interest; hist lookup + full-softmax CE are the captured paths
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.multi_interest_sa = MultiInterestSelfAttention(
@@ -38,12 +42,17 @@ class ComirecSA(SequenceModelBase):
             item = batch["target_item"]
             item_e = self.item_emb(item)
             best = best_interest(multi_interest_emb, item_e)
-            out["loss"] = self.calculate_loss(best, item)
+            out["loss"] = self.calculate_loss(best, item,
+                                              batch.get("emb_plan"))
         return out
 
 
 @register_model("ComirecDR")
 class ComirecDR(SequenceModelBase):
+    # the target-item read feeds only argmax (no gradient) - see
+    # best_interest; hist lookup + full-softmax CE are the captured paths
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.capsule = CapsuleNetwork(self.embedding_dim, self.max_length,
@@ -59,5 +68,6 @@ class ComirecDR(SequenceModelBase):
             item = batch["target_item"]
             item_e = self.item_emb(item)
             best = best_interest(multi_interest_emb, item_e)
-            out["loss"] = self.calculate_loss(best, item)
+            out["loss"] = self.calculate_loss(best, item,
+                                              batch.get("emb_plan"))
         return out

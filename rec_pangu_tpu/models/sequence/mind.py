@@ -9,6 +9,10 @@ from .comirec import best_interest
 
 @register_model("MIND")
 class MIND(SequenceModelBase):
+    # the target-item read feeds only argmax (no gradient) - see
+    # best_interest; hist lookup + full-softmax CE are the captured paths
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.capsule = CapsuleNetwork(self.embedding_dim, self.max_length,
@@ -24,5 +28,6 @@ class MIND(SequenceModelBase):
             item = batch["target_item"]
             item_e = self.item_emb(item)
             best = best_interest(multi_interest_emb, item_e)
-            out["loss"] = self.calculate_loss(best, item)
+            out["loss"] = self.calculate_loss(best, item,
+                                              batch.get("emb_plan"))
         return out

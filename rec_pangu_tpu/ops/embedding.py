@@ -149,10 +149,16 @@ class ItemEmbedding(nn.Module):
             # fused-update mode (train/fused_update.py seq path): the table's
             # update is applied by the planned-Adam kernel from the cotangent
             # of this zero 'capture' leaf; the table is held out of autodiff
-            base_plan = {k: v for k, v in plan.items() if k != "capture"}
-            val = _planned_value(jax.lax.stop_gradient(self.table), ids,
-                                 base_plan)
-            emb = val + cap["hist"].reshape(val.shape)
+            if cap["hist"].shape[0] == ids.size:
+                base_plan = {k: v for k, v in plan.items() if k != "capture"}
+                val = _planned_value(jax.lax.stop_gradient(self.table), ids,
+                                     base_plan)
+                emb = val + cap["hist"].reshape(val.shape)
+                return emb * (ids != 0)[..., None]
+            # a lookup the plan does not cover (e.g. the multi-interest
+            # models' target-item read, used only inside argmax) — such uses
+            # must be gradient-free, which fused_update_compatible asserts
+            emb = fused_gather(jax.lax.stop_gradient(self.table), ids)
             return emb * (ids != 0)[..., None]
         if (plan is not None
                 and planned_path_ok(self.vocab_size, ids.size,

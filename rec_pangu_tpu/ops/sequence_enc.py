@@ -48,18 +48,19 @@ class TransformerBlock(nn.Module):
         def proj(name):
             return nn.Dense(H, kernel_init=KERNEL_INIT, name=name)
 
-        q = proj("query")(x).reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
-        k = proj("key")(x).reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
-        v = proj("value")(x).reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / jnp.sqrt(dh).astype(x.dtype)
+        # head split stays folded into the einsums (no explicit [B,H,L,dh]
+        # transpose copies — XLA fuses the reshape-transpose into the matmul)
+        q = proj("query")(x).reshape(B, L, self.n_heads, dh)
+        k = proj("key")(x).reshape(B, L, self.n_heads, dh)
+        v = proj("value")(x).reshape(B, L, self.n_heads, dh)
+        scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(dh).astype(x.dtype)
         if attn_mask is not None:
             if attn_mask.dtype == jnp.bool_:
                 attn_mask = jnp.where(attn_mask, 0.0, -1e6)
             scores = scores + attn_mask
         probs = nn.softmax(scores, axis=-1)
         probs = nn.Dropout(self.attn_dropout, deterministic=not train)(probs)
-        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
+        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(B, L, H)
         ctx = nn.Dense(H, kernel_init=KERNEL_INIT, name="dense")(ctx)
         ctx = nn.Dropout(self.hidden_dropout, deterministic=not train)(ctx)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps)(ctx + x)

@@ -229,6 +229,41 @@ def test_seq_fused_step_matches_standard_step():
     np.testing.assert_allclose(f_losses, s_losses, rtol=1e-3)
 
 
+@tpu_only
+def test_multi_interest_fused_step_matches_standard():
+    """ComirecSA's target-item read is gradient-free (argmax only), so the
+    fused step must match the standard step exactly."""
+    from rec_pangu_tpu.ops.embedding import attach_item_plan
+    from rec_pangu_tpu.train.fused_update import maybe_enable_seq_fused_update
+
+    enc, data = _seq_fixture()
+    model = get_model("ComirecSA")(
+        enc_dict=enc, config={"embedding_dim": 32, "max_length": 24, "K": 2})
+    batch = dict(data)
+    attach_item_plan(batch, 70_000, 32, force=True)
+    rng, srng = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    def run(fused: bool):
+        state = create_train_state(model, batch, make_optimizer(1e-3, 1), rng)
+        if fused:
+            state, step, info = maybe_enable_seq_fused_update(
+                state, model, batch, 1e-3, 1)
+            assert step is not None, "fixture must qualify"
+        else:
+            step = make_train_step(state.batch_stats is not None)
+        state, out = step(state, batch, srng)
+        return state, float(out["loss"])
+
+    f1, fl = run(True)
+    s1, sl = run(False)
+    np.testing.assert_allclose(fl, sl, rtol=1e-6)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(s1.params))
+    for path, a in jax.tree_util.tree_leaves_with_path(f1.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat_s[path]), atol=5e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_seq_applicability_gates():
     """Runs on any backend: incompatible models / CPU never fuse."""
     from rec_pangu_tpu.ops.embedding import attach_item_plan
@@ -236,12 +271,12 @@ def test_seq_applicability_gates():
         maybe_enable_seq_fused_update, seq_fused_applicable)
 
     enc, data = _seq_fixture(batch=8)
-    cfg = {"embedding_dim": 32, "max_length": 24, "K": 2}
+    cfg = {"embedding_dim": 32, "max_length": 24}
     batch = dict(data)
     attach_item_plan(batch, 70_000, 32)
-    # ComirecSA reads the target's embedding for interest selection — its
-    # table gradient has a term the capture paths do not cover
-    model = get_model("ComirecSA")(enc_dict=enc, config=cfg)
+    # CLRec embeds augmented views of the history — table-gradient terms the
+    # capture paths do not cover
+    model = get_model("CLRec")(enc_dict=enc, config=cfg)
     assert not getattr(model, "fused_update_compatible", False)
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),
                                jax.random.PRNGKey(0))
