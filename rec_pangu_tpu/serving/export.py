@@ -25,7 +25,8 @@ def export2tf(model, variables, enc_dict: dict, serving_dir: str,
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    score = make_ranking_scorer(model, variables)
+    # plan attachment is a host-side step; the exported graph must stay pure
+    score = make_ranking_scorer(model, variables, attach_plan=False)
     dummy = construct_dummy_data(enc_dict)
     f, d = dummy["sparse"].shape[1], dummy["dense"].shape[1]
     # only the batch dim is polymorphic; feature counts are baked into the model
@@ -55,7 +56,7 @@ def export_stablehlo(model, variables, enc_dict: dict, path: str) -> str:
     import jax
     from jax import export as jax_export
 
-    score = make_ranking_scorer(model, variables)
+    score = make_ranking_scorer(model, variables, attach_plan=False)
     dummy = construct_dummy_data(enc_dict)
     exported = jax_export.export(jax.jit(score))(
         {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in dummy.items()})

@@ -29,11 +29,28 @@ def construct_dummy_data(enc_dict: dict, batch_size: int = 2) -> Dict[str, np.nd
     }
 
 
-def make_ranking_scorer(model, variables) -> Callable:
+def make_ranking_scorer(model, variables, attach_plan: bool = True) -> Callable:
+    """Jitted batch scorer.  ``attach_plan`` adds the host-side embedding
+    sort plan per batch when the model/table qualify — the forward then uses
+    the streaming fetch kernel instead of XLA's row-serial gather (measured
+    3.4 ms vs 5.4 ms at batch 8192, 16x100k-vocab, dim 32)."""
+    spec = getattr(model, "spec", None)
+    dim = getattr(model, "embedding_dim", None)
+
     @jax.jit
-    def score(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def _score(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         out = model.apply(variables, batch, False)
         return out["pred"].reshape(-1)
+
+    if not attach_plan or spec is None or dim is None:
+        return _score
+
+    def score(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        from ..ops.embedding import attach_emb_plan
+
+        if "emb_plan" not in batch:
+            batch = attach_emb_plan(dict(batch), spec, int(dim))
+        return _score(batch)
 
     return score
 
