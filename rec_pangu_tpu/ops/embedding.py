@@ -67,9 +67,14 @@ class FusedEmbedding(nn.Module):
             return val + cap[f"d{self.embedding_dim}"].reshape(val.shape)
         if (plan is not None
                 and planned_path_ok(self.spec.total_rows, fused_ids.size,
-                                    self.embedding_dim)
-                and plan_matches(plan, fused_ids.size, self.table.shape[0])):
-            return planned_gather(self.table, fused_ids, plan)
+                                    self.embedding_dim)):
+            if plan_matches(plan, fused_ids.size, self.table.shape[0]):
+                return planned_gather(self.table, fused_ids, plan)
+            dp = _dp_plan_setup(plan, fused_ids.size, self.table.shape[0])
+            if dp is not None:
+                from .kernels.embedding_grad import planned_gather_dp
+
+                return planned_gather_dp(self.table, fused_ids, plan, dp)
         return fused_gather(self.table, fused_ids)
 
     def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
@@ -84,16 +89,39 @@ def host_fused_ids(spec: FeatureSpec, sparse) -> np.ndarray:
             + np.asarray(spec.offsets, dtype=np.int64)[None, :]).reshape(-1)
 
 
+def _dp_plan_setup(plan, num_lookups: int, table_rows: int):
+    """Trace-time gate for the data-parallel planned path: a stacked
+    per-shard plan (leading axis = data-shard count), an active mesh whose
+    'model' axis is trivial (the table is replicated), and matching shapes.
+    Returns the mesh to shard_map over, or None to fall back."""
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, active_mesh
+    from .kernels.embedding_grad import sharded_plan_matches
+
+    meta = plan.get("meta") if isinstance(plan, dict) else None
+    if meta is None or getattr(meta, "ndim", 1) != 2:
+        return None
+    mesh = active_mesh()
+    if mesh is None or mesh.shape[MODEL_AXIS] != 1:
+        return None
+    if not sharded_plan_matches(plan, num_lookups, table_rows,
+                                mesh.shape[DATA_AXIS]):
+        return None
+    return mesh
+
+
 def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
-                    force: bool = False) -> dict:
+                    force: bool = False, n_shards: int = 1) -> dict:
     """Host-side: add ``batch["emb_plan"]`` when the planned backward applies.
 
     Called by the trainer/bench at batch-prep time; a no-op for small tables,
     CPU backends, or batches without a ``sparse`` field.  ``force`` waives the
     lookup-count threshold (a perf gate only) — the fused-update train step
     needs a plan on EVERY batch, including a small final partial one.
+    ``n_shards`` > 1 builds one plan per data shard (stacked leaves) for the
+    shard_map-wrapped mesh path; the batch axis must split evenly.
     """
-    from .kernels.embedding_grad import (make_sort_plan, padded_rows,
+    from .kernels.embedding_grad import (make_sharded_sort_plan,
+                                         make_sort_plan, padded_rows,
                                          planned_path_ok)
 
     import os
@@ -105,12 +133,18 @@ def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
     if not planned_path_ok(spec.total_rows, n if not force else 2**30,
                            embedding_dim):
         return batch
+    if n_shards > 1 and sparse.shape[0] % n_shards:
+        return batch  # partial batch: _put replicates it; keep the gather
     # compact plans ship a third less data per batch at ~3 ms/step device
     # cost — for hosts whose device link, not the chip, is the bottleneck
     compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
-    batch["emb_plan"] = make_sort_plan(host_fused_ids(spec, sparse),
-                                       padded_rows(spec.total_rows),
-                                       compact=compact)
+    fused = host_fused_ids(spec, sparse)
+    if n_shards > 1:
+        batch["emb_plan"] = make_sharded_sort_plan(
+            fused, padded_rows(spec.total_rows), n_shards, compact=compact)
+    else:
+        batch["emb_plan"] = make_sort_plan(fused, padded_rows(spec.total_rows),
+                                           compact=compact)
     return batch
 
 
@@ -162,20 +196,28 @@ class ItemEmbedding(nn.Module):
             return emb * (ids != 0)[..., None]
         if (plan is not None
                 and planned_path_ok(self.vocab_size, ids.size,
-                                    self.embedding_dim)
-                and plan_matches(plan, ids.size, self.table.shape[0])):
-            emb = planned_gather(self.table, ids, plan)
-        else:
-            emb = fused_gather(self.table, ids)
+                                    self.embedding_dim)):
+            if plan_matches(plan, ids.size, self.table.shape[0]):
+                emb = planned_gather(self.table, ids, plan)
+                return emb * (ids != 0)[..., None]
+            dp = _dp_plan_setup(plan, ids.size, self.table.shape[0])
+            if dp is not None:
+                from .kernels.embedding_grad import planned_gather_dp
+
+                emb = planned_gather_dp(self.table, ids, plan, dp)
+                return emb * (ids != 0)[..., None]
+        emb = fused_gather(self.table, ids)
         return emb * (ids != 0)[..., None]
 
 
 def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
-                     force: bool = False) -> dict:
+                     force: bool = False, n_shards: int = 1) -> dict:
     """Host-side: sort plan for the sequence hist-item lookup.  ``force``
     waives the lookup-count threshold (a perf gate only) — the fused-update
-    train step needs a plan on EVERY batch, including a small final one."""
-    from .kernels.embedding_grad import (make_sort_plan, padded_rows,
+    train step needs a plan on EVERY batch, including a small final one.
+    ``n_shards`` > 1 builds a stacked per-data-shard plan (mesh path)."""
+    from .kernels.embedding_grad import (make_sharded_sort_plan,
+                                         make_sort_plan, padded_rows,
                                          planned_path_ok)
 
     import os
@@ -187,10 +229,16 @@ def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
     if not planned_path_ok(vocab_size, n if not force else 2**30,
                            embedding_dim):
         return batch
+    if n_shards > 1 and hist.shape[0] % n_shards:
+        return batch  # partial batch: _put replicates it; keep the gather
     compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
-    batch["emb_plan"] = make_sort_plan(
-        np.asarray(hist, dtype=np.int64).reshape(-1), padded_rows(vocab_size),
-        compact=compact)
+    flat = np.asarray(hist, dtype=np.int64).reshape(-1)
+    if n_shards > 1:
+        batch["emb_plan"] = make_sharded_sort_plan(
+            flat, padded_rows(vocab_size), n_shards, compact=compact)
+    else:
+        batch["emb_plan"] = make_sort_plan(flat, padded_rows(vocab_size),
+                                           compact=compact)
     return batch
 
 

@@ -37,6 +37,16 @@ CHUNK = 128        # C: sorted entries DMA'd + matmul'd per inner iteration
 # because the default bf16 matmul pass rounds the cotangent rows)
 
 
+def _interpret() -> bool:
+    """Run the Pallas kernels in interpret mode (pure-JAX emulation) so the
+    planned path is exercisable on CPU — used by the mesh parity tests.
+    Enable with REC_PANGU_TPU_PALLAS_INTERPRET=1; never set it on real TPU."""
+    import os
+
+    return os.environ.get("REC_PANGU_TPU_PALLAS_INTERPRET", "0") in (
+        "1", "on", "true")
+
+
 def _grad_mode() -> str:
     """MXU precision mode for the one-hot accumulation.  The one-hot factor
     is exactly 0/1, so precision only affects how the cotangent rows are fed
@@ -173,6 +183,7 @@ def _call_accumulate(starts, sorted_ids_p, sorted_rows_p, num_rows: int,
         functools.partial(_accumulate_kernel, dim=dim, tile_rows=tile,
                           mode=mode),
         grid_spec=grid_spec,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((dim, v_pad), jnp.float32),
     )(starts, sorted_ids_p, sorted_rows_p)
     out = out.T  # layout bitcast, not a copy (see kernel comment)
@@ -444,6 +455,7 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
         functools.partial(_chunk_kernel, dim=dim, tile_rows=tile,
                           mode=_grad_mode()),
         grid_spec=grid_spec,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((dim, v_pad), jnp.float32),
     )(plan["meta"], ids_stream, sorted_rows)
     out = out.T  # layout bitcast into the tables' column-major layout
@@ -522,6 +534,7 @@ def _scan_select_forward(table, ids, plan, ids_stream):
         functools.partial(_select_kernel, dim=dim, tile_rows=tile,
                           mode=_grad_mode()),
         grid_spec=grid_spec,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((k_chunks * CHUNK, dim), jnp.float32),
     )(plan["meta"], ids_stream, table.T)
     flat = jnp.take(stream, plan["inv_perm"], axis=0)  # un-permute (small src)
@@ -586,7 +599,7 @@ def planned_path_ok(num_rows: int, num_lookups: int, dim: int) -> bool:
 
     if os.environ.get("REC_PANGU_TPU_PLANNED_EMB", "1") not in ("1", "on", "true"):
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not _interpret():
         return False
     return (num_rows >= _MIN_TABLE_ROWS and num_lookups >= _MIN_LOOKUPS
             and dim <= 128 and (dim < 8 or dim % 8 == 0))
@@ -601,6 +614,77 @@ def plan_matches(plan, num_lookups: int, num_rows: int) -> bool:
             and plan["perm"].shape == (k * CHUNK,)
             and plan.get("inv_perm") is not None
             and plan["inv_perm"].shape == (num_lookups,))
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel planned path (SURVEY.md §2.6): under a mesh the batch rows
+# live on different chips, so ONE host plan cannot drive the kernels.  The
+# host instead builds a plan PER DATA SHARD (over that shard's contiguous row
+# block) and stacks the leaves on a leading shard axis; sharded with
+# P('data') each device holds exactly its own plan.  The lookup runs inside a
+# shard_map region — each chip executes the same Pallas kernels on its local
+# rows; the table stays replicated (in_spec P()), so shard_map's transpose
+# inserts the one psum that data-parallel embedding gradients need.  This is
+# the grads-reduced-by-XLA DP story with the scatter replaced by the planned
+# kernels; it requires the 'model' axis to be trivial (row-sharded tables
+# keep the plain GSPMD gather path).
+# ---------------------------------------------------------------------------
+
+def make_sharded_sort_plan(flat_ids, num_rows: int, n_shards: int,
+                           compact: bool = False):
+    """Per-data-shard sort plans, leaves stacked on a leading [n_shards] axis.
+
+    ``flat_ids`` must be the row-major flattening of the batch's id matrix so
+    that an equal split is exactly the per-device row blocks produced by
+    sharding the batch with P('data')."""
+    import numpy as np
+
+    ids = np.asarray(flat_ids).reshape(-1)
+    if n_shards <= 1:
+        return make_sort_plan(ids, num_rows, compact)
+    if ids.size % n_shards:
+        raise ValueError(f"{ids.size} lookups do not split into {n_shards} "
+                         f"equal data shards")
+    blocks = ids.reshape(n_shards, -1)
+    plans = [make_sort_plan(b, num_rows, compact) for b in blocks]
+    return {k: np.stack([p[k] for p in plans]) for k in plans[0]}
+
+
+def sharded_plan_matches(plan, num_lookups: int, num_rows: int,
+                         n_shards: int) -> bool:
+    """Shape check for a stacked per-shard plan (leading axis = n_shards)."""
+    if plan is None or "meta" not in plan:
+        return False
+    if getattr(plan["meta"], "ndim", 1) != 2 or num_lookups % n_shards:
+        return False
+    n_local = num_lookups // n_shards
+    k = plan_chunks(n_local, num_rows)
+    return (plan["meta"].shape == (n_shards, k)
+            and plan["perm"].shape == (n_shards, k * CHUNK)
+            and plan.get("inv_perm") is not None
+            and plan["inv_perm"].shape == (n_shards, n_local))
+
+
+def planned_gather_dp(table: jnp.ndarray, ids: jnp.ndarray, plan,
+                      mesh) -> jnp.ndarray:
+    """planned_gather under a data-parallel mesh: ids row-sharded over
+    'data', table replicated, ``plan`` a stacked per-shard plan.  Forward is
+    the per-chip scan-select/gather; backward is the per-chip chunk kernel's
+    dense [V, D] partial psum'd over 'data' (inserted by shard_map's
+    transpose of the replicated table input)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DATA_AXIS
+
+    def _local(table, ids, plan):
+        local_plan = {k: v[0] for k, v in plan.items()}
+        return planned_gather(table, ids, local_plan)
+
+    return jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_vma=False,
+    )(table, ids, plan)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

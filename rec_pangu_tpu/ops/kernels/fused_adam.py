@@ -192,6 +192,9 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
     Returns (new_table, new_mu, new_nu); inputs are aliased to outputs, so
     callers should donate them (the jitted train step does).
     """
+    from .embedding_grad import _interpret
+
+    interpret = interpret or _interpret()
     n, dim = rows.shape
     num_rows = table.shape[0]
     tile = _tile_rows(num_rows)

@@ -15,6 +15,27 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# The mesh the trainer is currently driving.  Modules that need a concrete
+# mesh at trace time (the shard_map-wrapped planned-embedding path,
+# ops/kernels/embedding_grad.planned_gather_dp) read it here — flax module
+# attributes are frozen at construction, long before a mesh exists.  Set by
+# _BaseTrainer._build_state; last writer wins, so interleaving two trainers
+# on different meshes re-traces against the newest mesh (a loud shape error,
+# never silent corruption, because the shipped plan's shard count must match).
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Install ``mesh`` as the trace-time mesh; returns the previous one."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return prev
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:

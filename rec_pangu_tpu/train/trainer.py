@@ -81,7 +81,9 @@ class _BaseTrainer:
 
         n_data = self.mesh.shape[DATA_AXIS]
         axis = 1 if stacked else 0
-        some = next(iter(batch.values()))
+        # divisibility is judged on a batch-row leaf, not the plan sub-dict
+        # (stacked per-shard plan leaves always divide by n_data)
+        some = next(v for v in batch.values() if hasattr(v, "shape"))
         if some.shape[axis] % n_data != 0:
             return jax.device_put(
                 batch, NamedSharding(self.mesh, P()))
@@ -90,10 +92,17 @@ class _BaseTrainer:
 
     def _attach_plan(self, batch):
         """Host-side embedding sort plan (docs/perf_notes.md §1): skips XLA's
-        row-serial scatter in the embedding backward.  Single-device only —
-        under a mesh the plan would need to be computed per data shard."""
+        row-serial scatter in the embedding backward.  Under a data-parallel
+        mesh (trivial 'model' axis) the plan is built PER DATA SHARD and the
+        lookup runs in a shard_map region; meshes that row-shard the tables
+        keep the plain GSPMD gather path."""
+        n_shards = 1
         if getattr(self, "mesh", None) is not None:
-            return batch
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            if self.mesh.shape[MODEL_AXIS] != 1:
+                return batch
+            n_shards = self.mesh.shape[DATA_AXIS]
         model = getattr(self, "model", None)
         if model is None:
             return batch
@@ -110,7 +119,8 @@ class _BaseTrainer:
 
             force = getattr(self, "_fused_step", None) is not None
             return attach_item_plan(batch, int(enc[item_col][OOV_SENTINEL]),
-                                    int(cfg["embedding_dim"]), force=force)
+                                    int(cfg["embedding_dim"]), force=force,
+                                    n_shards=n_shards)
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
@@ -120,7 +130,8 @@ class _BaseTrainer:
         # fused-update mode needs a plan on EVERY train batch (the step's
         # optimizer state only updates through the kernel)
         force = getattr(self, "_fused_step", None) is not None
-        return attach_emb_plan(batch, spec, dim, force=force)
+        return attach_emb_plan(batch, spec, dim, force=force,
+                               n_shards=n_shards)
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
@@ -130,6 +141,9 @@ class _BaseTrainer:
 
         enable_compilation_cache()
         self.mesh = mesh
+        from ..parallel.mesh import set_active_mesh
+
+        set_active_mesh(mesh)  # trace-time mesh for the shard_map planned path
         tx = make_optimizer(lr, steps_per_epoch, lr_scheduler_type, scheduler_params)
         rng = jax.random.PRNGKey(seed)
         # init in eval mode when the sample batch has no labels (inference-only)

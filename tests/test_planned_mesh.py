@@ -1,0 +1,158 @@
+"""Data-parallel planned embedding path (SURVEY.md §2.6): per-shard host
+plans + shard_map-wrapped Pallas kernels must match the plain gather/scatter
+semantics exactly.  Runs on the forced 8-device CPU mesh with the kernels in
+interpret mode (REC_PANGU_TPU_PALLAS_INTERPRET=1)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rec_pangu_tpu.parallel.mesh import make_mesh, set_active_mesh
+
+
+@pytest.fixture(autouse=True)
+def _interpret_kernels(monkeypatch):
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("REC_PANGU_TPU_EMB_GRAD_PRECISION", "highest")
+    yield
+    set_active_mesh(None)
+
+
+def test_planned_gather_dp_matches_take():
+    from rec_pangu_tpu.ops.kernels.embedding_grad import (
+        make_sharded_sort_plan, padded_rows, planned_gather_dp)
+
+    V, D, B, F, N_SHARDS = 65536, 16, 2048, 8, 4
+    assert padded_rows(V) == V
+    mesh = make_mesh(N_SHARDS, 1)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    ids = rng.integers(0, V, (B, F)).astype(np.int64)
+    plan = make_sharded_sort_plan(ids.reshape(-1), V, N_SHARDS)
+    assert plan["meta"].ndim == 2 and plan["meta"].shape[0] == N_SHARDS
+    plan_j = {k: jnp.asarray(v) for k, v in plan.items()}
+    ids_j = jnp.asarray(ids)
+
+    out = planned_gather_dp(table, ids_j, plan_j, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table)[ids],
+                               rtol=1e-6, atol=1e-6)
+
+    w = jnp.asarray(rng.standard_normal((B, F, D)).astype(np.float32))
+
+    def loss_dp(t):
+        return (planned_gather_dp(t, ids_j, plan_j, mesh) * w).sum()
+
+    def loss_ref(t):
+        return (jnp.take(t, ids_j, axis=0) * w).sum()
+
+    g_dp = jax.jit(jax.grad(loss_dp))(table)
+    g_ref = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _mk_batches(rng, vocab, n_batches=2, batch=2048, n_sparse=8, n_dense=4):
+    out = []
+    for _ in range(n_batches):
+        out.append({
+            "sparse": rng.integers(0, vocab, (batch, n_sparse)).astype(np.int32),
+            "dense": rng.random((batch, n_dense)).astype(np.float32),
+            "label": rng.integers(0, 2, (batch,)).astype(np.float32),
+        })
+    return out
+
+
+def test_trainer_dp_planned_matches_single_device(tmp_path):
+    """RankTrainer under an 8x1 mesh (sharded plans + shard_map kernels)
+    trains to the same parameters as the single-device planned path."""
+    from rec_pangu_tpu.models import get_model
+    from rec_pangu_tpu.train import RankTrainer
+
+    VOCAB = 8191  # 8 features x (vocab+1) rows = 65536 -> planned path on
+    rng = np.random.default_rng(1)
+    batches = _mk_batches(rng, VOCAB)
+    enc = {f"dense_{i}": {"min": 0.0, "max": 1.0} for i in range(4)}
+    for i in range(8):
+        enc[f"sparse_{i}"] = {"vocab_size": VOCAB}
+
+    def run(mesh, tag):
+        model = get_model("DeepFM")(enc_dict=enc, embedding_dim=8,
+                                    hidden_units=(16,))
+        tr = RankTrainer(num_task=1, model_ckpt_dir=str(tmp_path / tag))
+        tr.fit(model, [dict(b) for b in batches], None, epoch=1, lr=1e-2,
+               mesh=mesh, seed=3)
+        return tr
+
+    tr_mesh = run(make_mesh(8, 1), "mesh")
+    # the mesh run must actually have used sharded plans (not a fallback)
+    sample = tr_mesh._attach_plan(dict(batches[0]))
+    assert "emb_plan" in sample and sample["emb_plan"]["meta"].ndim == 2
+    tr_single = run(None, "single")
+
+    leaves_m = jax.tree_util.tree_leaves(tr_mesh.state.params)
+    leaves_s = jax.tree_util.tree_leaves(tr_single.state.params)
+    assert len(leaves_m) == len(leaves_s)
+    for a, b in zip(leaves_m, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sequence_trainer_dp_planned_matches_single_device(tmp_path):
+    """SequenceTrainer: the hist-item lookup's sharded plan + shard_map
+    kernels train GRU4Rec to the same parameters as single-device."""
+    from rec_pangu_tpu.models import get_model
+    from rec_pangu_tpu.train import SequenceTrainer
+
+    VOCAB, B, L = 65537, 1024, 8  # >= _MIN_TABLE_ROWS -> planned path on
+    rng = np.random.default_rng(3)
+    lens = rng.integers(2, L + 1, B)
+    hist = np.zeros((B, L), dtype=np.int32)
+    mask = np.zeros((B, L), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, VOCAB, n)
+        mask[i, :n] = 1.0
+    batch = {"hist_item_list": hist, "hist_mask_list": mask,
+             "target_item": rng.integers(1, VOCAB, B).astype(np.int32)}
+    enc = {"item_id": {"vocab_size": VOCAB}}
+    cfg = {"embedding_dim": 8, "max_length": L, "item_col": "item_id",
+           "cate_cols": [], "device": -1}
+
+    def run(mesh, tag):
+        model = get_model("GRU4Rec")(enc_dict=enc, config=dict(cfg))
+        tr = SequenceTrainer(model_ckpt_dir=str(tmp_path / tag))
+        tr.fit(model, [dict(batch)], None, epoch=1, lr=1e-2, mesh=mesh,
+               seed=5)
+        return tr
+
+    tr_mesh = run(make_mesh(8, 1), "seq_mesh")
+    sample = tr_mesh._attach_plan(dict(batch))
+    assert "emb_plan" in sample and sample["emb_plan"]["meta"].ndim == 2
+    tr_single = run(None, "seq_single")
+    leaves_m = jax.tree_util.tree_leaves(tr_mesh.state.params)
+    leaves_s = jax.tree_util.tree_leaves(tr_single.state.params)
+    for a, b in zip(leaves_m, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_partial_batch_under_mesh_falls_back(tmp_path):
+    """A batch whose row count does not divide the data axis gets no sharded
+    plan and is replicated — correctness preserved."""
+    from rec_pangu_tpu.models import get_model
+    from rec_pangu_tpu.train import RankTrainer
+
+    VOCAB = 8191
+    rng = np.random.default_rng(2)
+    batches = _mk_batches(rng, VOCAB, n_batches=1, batch=2048)
+    batches.append({k: v[:100] for k, v in batches[0].items()})  # partial
+    enc = {f"dense_{i}": {"min": 0.0, "max": 1.0} for i in range(4)}
+    for i in range(8):
+        enc[f"sparse_{i}"] = {"vocab_size": VOCAB}
+    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=8,
+                                hidden_units=(16,))
+    tr = RankTrainer(num_task=1, model_ckpt_dir=str(tmp_path / "pb"))
+    tr.fit(model, batches, None, epoch=1, lr=1e-2, mesh=make_mesh(8, 1))
+    out = tr.predict_dataloader(model, [batches[1]])
+    assert out.shape == (100,)
+    assert np.isfinite(out).all()
