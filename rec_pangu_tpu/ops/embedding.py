@@ -62,8 +62,17 @@ class FusedEmbedding(nn.Module):
             # applied by the planned-Adam kernel from the cotangent of this
             # zero 'capture' leaf, so the table itself is held out of autodiff
             base_plan = {k: v for k, v in plan.items() if k != "capture"}
-            val = _planned_value(jax.lax.stop_gradient(self.table), fused_ids,
-                                 base_plan)
+            from ..parallel.mesh import active_mesh
+
+            mesh = active_mesh()
+            if mesh is not None:
+                from .kernels.embedding_grad import planned_value_dp
+
+                val = planned_value_dp(jax.lax.stop_gradient(self.table),
+                                       fused_ids, base_plan, mesh)
+            else:
+                val = _planned_value(jax.lax.stop_gradient(self.table),
+                                     fused_ids, base_plan)
             return val + cap[f"d{self.embedding_dim}"].reshape(val.shape)
         if (plan is not None
                 and planned_path_ok(self.spec.total_rows, fused_ids.size,

@@ -665,6 +665,30 @@ def sharded_plan_matches(plan, num_lookups: int, num_rows: int,
             and plan["inv_perm"].shape == (n_shards, n_local))
 
 
+def planned_value_dp(table: jnp.ndarray, ids: jnp.ndarray, plan,
+                     mesh) -> jnp.ndarray:
+    """Forward-only planned lookup under a data-parallel mesh (capture mode:
+    the table is stop-gradded by the caller, so no vjp is needed).  ``plan``
+    may be stacked per-shard (ids row-sharded) or plain (replicated partial
+    batch — every chip runs the full lookup on its replica)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DATA_AXIS
+
+    sharded = getattr(plan["meta"], "ndim", 1) == 2
+
+    def _local(table, ids, plan):
+        if sharded:
+            plan = {k: v[0] for k, v in plan.items()}
+        return _planned_value(table, ids, plan)
+
+    spec = P(DATA_AXIS) if sharded else P()
+    return jax.shard_map(
+        _local, mesh=mesh, in_specs=(P(), spec, spec),
+        out_specs=spec, check_vma=False,
+    )(table, ids, plan)
+
+
 def planned_gather_dp(table: jnp.ndarray, ids: jnp.ndarray, plan,
                       mesh) -> jnp.ndarray:
     """planned_gather under a data-parallel mesh: ids row-sharded over

@@ -270,6 +270,47 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
     return new_p.T, new_m.T, new_v.T
 
 
+def planned_adam_update_mesh(plan, ids_stream, rows, table, mu, nu, hyper,
+                             mesh, rows_sharded: bool, dense_grad_t=None):
+    """``planned_adam_update`` under a data-parallel mesh.
+
+    The DP gradient exchange for a sparse table is done by all_gathering the
+    per-shard cotangent ROWS (N x D — e.g. 16 MB at the bench shape) instead
+    of psumming a dense [V, D] gradient (2 x 205 MB): ``plan`` must be the
+    GLOBAL sort plan (the shard row blocks are contiguous, so the all_gather
+    concatenation is exactly the global batch order), and every chip then
+    runs the identical fused grad+Adam pass on its replicated table — the
+    update work does not scale with the mesh, but it is HBM-roofline-bound
+    at one table pass, the same floor a single chip has.
+
+    ``rows_sharded=False`` handles replicated partial batches (every chip
+    already holds all rows; no gather).  ``dense_grad_t``, when present, is
+    replicated/psum'd by GSPMD before entering the region."""
+    import jax
+
+    from ...parallel.mesh import DATA_AXIS
+
+    from jax.sharding import PartitionSpec as P
+
+    def _local(plan, ids_stream, rows, table, mu, nu, hyper, *rest):
+        if rows_sharded:
+            rows_all = jax.lax.all_gather(rows, DATA_AXIS, axis=0, tiled=True)
+        else:
+            rows_all = rows
+        dg = rest[0] if rest else None
+        return planned_adam_update(plan, ids_stream, rows_all, table, mu, nu,
+                                   hyper, dense_grad_t=dg)
+
+    args = (plan, ids_stream, rows, table, mu, nu, hyper)
+    in_specs = (P(), P(), P(DATA_AXIS) if rows_sharded else P(),
+                P(), P(), P(), P())
+    if dense_grad_t is not None:
+        args += (dense_grad_t,)
+        in_specs += (P(),)
+    return jax.shard_map(_local, mesh=mesh, in_specs=in_specs,
+                         out_specs=(P(), P(), P()), check_vma=False)(*args)
+
+
 def adam_hyper(step, lr, b1: float = 0.9, b2: float = 0.999,
                eps: float = 1e-8) -> jnp.ndarray:
     """f32[8] hyper vector for ``planned_adam_update`` at 1-based step t."""

@@ -55,14 +55,24 @@ def find_fused_tables(params, total_rows: int) -> Optional[Dict[int, Tuple[str, 
     return by_dim or None
 
 
-def fused_update_applicable(model, params, sample_batch) -> Optional[Dict[int, Tuple[str, ...]]]:
-    """Gate: single-device TPU ranking/multi-task batch with a sort plan whose
-    tables all qualify for the planned path."""
+def fused_update_applicable(model, params, sample_batch,
+                            mesh=None) -> Optional[Dict[int, Tuple[str, ...]]]:
+    """Gate: a TPU ranking/multi-task batch with a sort plan whose tables all
+    qualify for the planned path.  Under a data-parallel mesh the batch must
+    carry BOTH the per-shard plan (forward) and the global plan (update)."""
     spec = getattr(model, "spec", None)
     sparse = sample_batch.get("sparse")
     plan = sample_batch.get("emb_plan")
     if spec is None or sparse is None or plan is None:
         return None
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] != 1:
+            return None  # row-sharded tables keep the GSPMD path
+        plan = sample_batch.get("emb_plan_global")
+        if plan is None:
+            return None
     tables = find_fused_tables(params, spec.total_rows)
     if not tables:
         return None
@@ -109,7 +119,7 @@ def maybe_enable_fused_update(state: TrainState, model, sample_batch,
                               lr: float, steps_per_epoch: int,
                               lr_scheduler_type: str = "",
                               scheduler_params: Optional[dict] = None,
-                              optimizer: str = "adam"):
+                              optimizer: str = "adam", mesh=None):
     """Swap a freshly-initialized TrainState onto the fused-update path when
     it applies.  Returns (state, train_step, tables) — train_step is None
     (and the state untouched) when the model/batch/backend does not qualify,
@@ -122,7 +132,8 @@ def maybe_enable_fused_update(state: TrainState, model, sample_batch,
         return state, None, None
     if int(state.step) != 0:
         return state, None, None  # moments would be lost; resume uses std step
-    tables = fused_update_applicable(model, state.params, sample_batch)
+    tables = fused_update_applicable(model, state.params, sample_batch,
+                                     mesh=mesh)
     if not tables:
         return state, None, None
     tx, opt_state = init_fused_opt_state(
@@ -131,7 +142,8 @@ def maybe_enable_fused_update(state: TrainState, model, sample_batch,
     state = state.replace(tx=tx, opt_state=opt_state)
     step = make_fused_update_train_step(
         model, tables, lr, steps_per_epoch, lr_scheduler_type,
-        scheduler_params, has_batch_stats=state.batch_stats is not None)
+        scheduler_params, has_batch_stats=state.batch_stats is not None,
+        mesh=mesh)
     return state, step, tables
 
 
@@ -139,11 +151,16 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
                    lr: float, steps_per_epoch: int,
                    lr_scheduler_type: str = "",
                    scheduler_params: Optional[dict] = None,
-                   has_batch_stats: bool = False):
+                   has_batch_stats: bool = False, mesh=None):
     """Un-jitted (state, batch, rng) -> (state, out) with in-kernel table Adam.
 
     ``state.opt_state`` must be the pair from ``init_fused_opt_state`` and
-    ``state.tx`` its masked transform."""
+    ``state.tx`` its masked transform.  Under a data-parallel ``mesh`` the
+    batch carries a per-shard plan (forward) plus ``emb_plan_global`` (the
+    update kernel's plan); the cotangent rows are all_gathered — the sparse-DP
+    gradient exchange (see planned_adam_update_mesh) — and every chip runs
+    the identical fused Adam pass.  Replicated partial batches ship one plain
+    plan that serves both roles."""
     schedule = make_lr_schedule(lr, steps_per_epoch, lr_scheduler_type,
                                 scheduler_params)
     offsets = np.asarray(model.spec.offsets, dtype=np.int64)
@@ -153,6 +170,8 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {"dropout": step_rng, "routing": jax.random.fold_in(step_rng, 1)}
         plan = batch["emb_plan"]
+        rows_sharded = getattr(plan["meta"], "ndim", 1) == 2  # trace-static
+        gplan = batch.get("emb_plan_global", plan)
         sparse = batch["sparse"]
         n = int(np.prod(sparse.shape))
 
@@ -186,10 +205,18 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
             path = tables[d]
             key = "/".join(path)
             table = flat[path]
-            ids_stream = stream_ids(plan, fused_ids, table.shape[0])
-            new_t, new_mu, new_nu = planned_adam_update(
-                plan, ids_stream, cap_grads[f"d{d}"], table,
-                emb_state[key]["mu"], emb_state[key]["nu"], hyper)
+            ids_stream = stream_ids(gplan, fused_ids, table.shape[0])
+            if mesh is not None:
+                from ..ops.kernels.fused_adam import planned_adam_update_mesh
+
+                new_t, new_mu, new_nu = planned_adam_update_mesh(
+                    gplan, ids_stream, cap_grads[f"d{d}"], table,
+                    emb_state[key]["mu"], emb_state[key]["nu"], hyper,
+                    mesh, rows_sharded=rows_sharded)
+            else:
+                new_t, new_mu, new_nu = planned_adam_update(
+                    gplan, ids_stream, cap_grads[f"d{d}"], table,
+                    emb_state[key]["mu"], emb_state[key]["nu"], hyper)
             flat[path] = new_t
             new_emb_state[key] = {"mu": new_mu, "nu": new_nu}
         new_params = traverse_util.unflatten_dict(flat)

@@ -88,14 +88,24 @@ class _BaseTrainer:
             return jax.device_put(
                 batch, NamedSharding(self.mesh, P()))
         spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
-        return jax.device_put(batch, NamedSharding(self.mesh, spec))
+        gplan = batch.get("emb_plan_global")
+        if gplan is None:
+            return jax.device_put(batch, NamedSharding(self.mesh, spec))
+        # the global plan is consumed replicated by the fused update's
+        # shard_map region (and its leaves need not divide the data axis)
+        rest = {k: v for k, v in batch.items() if k != "emb_plan_global"}
+        rest = jax.device_put(rest, NamedSharding(self.mesh, spec))
+        rest["emb_plan_global"] = jax.device_put(
+            gplan, NamedSharding(self.mesh, P()))
+        return rest
 
-    def _attach_plan(self, batch):
+    def _attach_plan(self, batch, force_fused: bool = False):
         """Host-side embedding sort plan (docs/perf_notes.md §1): skips XLA's
         row-serial scatter in the embedding backward.  Under a data-parallel
         mesh (trivial 'model' axis) the plan is built PER DATA SHARD and the
-        lookup runs in a shard_map region; meshes that row-shard the tables
-        keep the plain GSPMD gather path."""
+        lookup runs in a shard_map region; the fused-update step additionally
+        ships ``emb_plan_global`` for its all_gather+Adam kernel pass.  Meshes
+        that row-shard the tables keep the plain GSPMD gather path."""
         n_shards = 1
         if getattr(self, "mesh", None) is not None:
             from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -128,10 +138,31 @@ class _BaseTrainer:
         from ..ops.embedding import attach_emb_plan
 
         # fused-update mode needs a plan on EVERY train batch (the step's
-        # optimizer state only updates through the kernel)
+        # optimizer state only updates through the kernel); ``force_fused``
+        # (the enable-time probe) only adds the global plan — the lookup-count
+        # perf gate still decides whether the fused path turns on at all
         force = getattr(self, "_fused_step", None) is not None
-        return attach_emb_plan(batch, spec, dim, force=force,
-                               n_shards=n_shards)
+        sparse = batch.get("sparse")
+        if (n_shards > 1 and force and sparse is not None
+                and sparse.shape[0] % n_shards):
+            # replicated partial batch on the fused path: one plain plan
+            # serves both the capture forward and the update kernel
+            return attach_emb_plan(batch, spec, dim, force=True)
+        batch = attach_emb_plan(batch, spec, dim, force=force,
+                                n_shards=n_shards)
+        if (n_shards > 1 and (force or force_fused) and "emb_plan" in batch
+                and "emb_plan_global" not in batch):
+            import os
+
+            from ..ops.embedding import host_fused_ids
+            from ..ops.kernels.embedding_grad import (make_sort_plan,
+                                                      padded_rows)
+
+            compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
+            batch["emb_plan_global"] = make_sort_plan(
+                host_fused_ids(spec, sparse), padded_rows(spec.total_rows),
+                compact=compact)
+        return batch
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
@@ -259,16 +290,17 @@ class RankTrainer(_BaseTrainer):
                           lr_scheduler_type, scheduler_params, seed, mesh=mesh)
         self._std_step = self._train_step
         # fuse the big tables' Adam update into the planned backward kernel
-        # (docs/perf_notes.md §1) — single-device, fresh-state, plain-Adam only
-        if mesh is None and not resume_from and not self._pending_pretrained:
+        # (docs/perf_notes.md §1) — fresh-state, plain-Adam; under a mesh the
+        # 'model' axis must be trivial (fused_update_applicable gates it)
+        if not resume_from and not self._pending_pretrained:
             from .fused_update import maybe_enable_fused_update
             from .steps import strip_host_keys as _shk
 
             sb, _ = _shk(sample_batch)
-            sb = self._attach_plan(dict(sb))
+            sb = self._attach_plan(dict(sb), force_fused=True)
             self.state, fstep, ftables = maybe_enable_fused_update(
                 self.state, model, sb, lr, len(train_loader),
-                lr_scheduler_type, scheduler_params)
+                lr_scheduler_type, scheduler_params, mesh=mesh)
             if fstep is not None:
                 self._fused_step = fstep
                 self._fused_tables = ftables
@@ -286,7 +318,7 @@ class RankTrainer(_BaseTrainer):
                 self._multi_step = make_fused_multi_step(
                     self._steps_per_call, model, self._fused_tables, lr,
                     len(train_loader), lr_scheduler_type, scheduler_params,
-                    has_batch_stats=self._has_bs)
+                    has_batch_stats=self._has_bs, mesh=mesh)
             else:
                 self._multi_step = make_multi_step(self._has_bs,
                                                    self._steps_per_call)

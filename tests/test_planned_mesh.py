@@ -85,9 +85,12 @@ def test_trainer_dp_planned_matches_single_device(tmp_path):
         return tr
 
     tr_mesh = run(make_mesh(8, 1), "mesh")
-    # the mesh run must actually have used sharded plans (not a fallback)
+    # the mesh run must actually have used sharded plans (not a fallback),
+    # and the fused (in-kernel Adam, all_gather cotangent) path must engage
     sample = tr_mesh._attach_plan(dict(batches[0]))
     assert "emb_plan" in sample and sample["emb_plan"]["meta"].ndim == 2
+    assert getattr(tr_mesh, "_fused_step", None) is not None
+    assert "emb_plan_global" in sample
     tr_single = run(None, "single")
 
     leaves_m = jax.tree_util.tree_leaves(tr_mesh.state.params)
