@@ -194,8 +194,17 @@ class ItemEmbedding(nn.Module):
             # of this zero 'capture' leaf; the table is held out of autodiff
             if cap["hist"].shape[0] == ids.size:
                 base_plan = {k: v for k, v in plan.items() if k != "capture"}
-                val = _planned_value(jax.lax.stop_gradient(self.table), ids,
-                                     base_plan)
+                from ..parallel.mesh import active_mesh
+
+                mesh = active_mesh()
+                if mesh is not None:
+                    from .kernels.embedding_grad import planned_value_dp
+
+                    val = planned_value_dp(jax.lax.stop_gradient(self.table),
+                                           ids, base_plan, mesh)
+                else:
+                    val = _planned_value(jax.lax.stop_gradient(self.table),
+                                         ids, base_plan)
                 emb = val + cap["hist"].reshape(val.shape)
                 return emb * (ids != 0)[..., None]
             # a lookup the plan does not cover (e.g. the multi-interest

@@ -241,11 +241,13 @@ def make_fused_update_train_step(*args, **kwargs):
 # sequence-recall path: planned hist grads + streaming-CE dense grad, both
 # applied by one kernel pass
 # --------------------------------------------------------------------------- #
-def seq_fused_applicable(model, params, sample_batch) -> Optional[dict]:
+def seq_fused_applicable(model, params, sample_batch,
+                         mesh=None) -> Optional[dict]:
     """Gate for the sequence fused update: a ``fused_update_compatible``
     model (its ONLY table uses are the planned hist lookup + full-softmax CE),
     a plan-carrying batch, and a big CHUNK_V-aligned table that fits the
-    dense-stream kernel."""
+    dense-stream kernel.  Under a data-parallel mesh the batch must also
+    carry the global plan (``emb_plan_global``)."""
     from ..ops.softmax_ce import _FUSED_MIN_VOCAB, CHUNK_V
 
     if not getattr(model, "fused_update_compatible", False):
@@ -257,6 +259,14 @@ def seq_fused_applicable(model, params, sample_batch) -> Optional[dict]:
     plan = sample_batch.get("emb_plan")
     if hist is None or plan is None:
         return None
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] != 1:
+            return None  # row-sharded tables keep the GSPMD path
+        plan = sample_batch.get("emb_plan_global")
+        if plan is None:
+            return None
     from ..data.encoder import OOV_SENTINEL
 
     item_col = cfg.get("item_col", "item_id")
@@ -287,7 +297,7 @@ def seq_fused_applicable(model, params, sample_batch) -> Optional[dict]:
 
 def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
                        lr_scheduler_type: str = "",
-                       scheduler_params: Optional[dict] = None):
+                       scheduler_params: Optional[dict] = None, mesh=None):
     """Un-jitted sequence train step with in-kernel item-table Adam.
 
     The capture dict routes BOTH table-gradient sources to zero leaves:
@@ -304,6 +314,8 @@ def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {"dropout": step_rng, "routing": jax.random.fold_in(step_rng, 1)}
         plan = batch["emb_plan"]
+        rows_sharded = getattr(plan["meta"], "ndim", 1) == 2  # trace-static
+        gplan = batch.get("emb_plan_global", plan)
         hist = batch["hist_item_list"]
         n = int(np.prod(hist.shape))
 
@@ -327,11 +339,20 @@ def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
         flat = traverse_util.flatten_dict(new_params)
         table = flat[path]
         ids = jnp.asarray(hist, jnp.int32).reshape(-1)
-        ids_stream = stream_ids(plan, ids, rows)
-        new_t, new_mu, new_nu = planned_adam_update(
-            plan, ids_stream, cap_grads["hist"], table,
-            emb_state[key]["mu"], emb_state[key]["nu"], hyper,
-            dense_grad_t=cap_grads["ce_t"])
+        ids_stream = stream_ids(gplan, ids, rows)
+        if mesh is not None:
+            from ..ops.kernels.fused_adam import planned_adam_update_mesh
+
+            new_t, new_mu, new_nu = planned_adam_update_mesh(
+                gplan, ids_stream, cap_grads["hist"], table,
+                emb_state[key]["mu"], emb_state[key]["nu"], hyper,
+                mesh, rows_sharded=rows_sharded,
+                dense_grad_t=cap_grads["ce_t"])
+        else:
+            new_t, new_mu, new_nu = planned_adam_update(
+                gplan, ids_stream, cap_grads["hist"], table,
+                emb_state[key]["mu"], emb_state[key]["nu"], hyper,
+                dense_grad_t=cap_grads["ce_t"])
         flat[path] = new_t
         new_params = traverse_util.unflatten_dict(flat)
         new_emb_state = {key: {"mu": new_mu, "nu": new_nu}}
@@ -349,7 +370,7 @@ def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
                                   lr: float, steps_per_epoch: int,
                                   lr_scheduler_type: str = "",
                                   scheduler_params: Optional[dict] = None,
-                                  optimizer: str = "adam"):
+                                  optimizer: str = "adam", mesh=None):
     """Sequence-trainer analogue of ``maybe_enable_fused_update``.  Returns
     (state, train_step, info) with train_step None when not applicable."""
     import os
@@ -362,7 +383,7 @@ def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
         return state, None, None  # capture CE relies on the padded fused path
     if int(state.step) != 0 or state.batch_stats is not None:
         return state, None, None
-    info = seq_fused_applicable(model, state.params, sample_batch)
+    info = seq_fused_applicable(model, state.params, sample_batch, mesh=mesh)
     if not info:
         return state, None, None
     tx, opt_state = init_fused_opt_state(
@@ -370,7 +391,8 @@ def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
         lr_scheduler_type, scheduler_params)
     state = state.replace(tx=tx, opt_state=opt_state)
     step = jax.jit(_seq_fused_step_fn(model, info, lr, steps_per_epoch,
-                                      lr_scheduler_type, scheduler_params),
+                                      lr_scheduler_type, scheduler_params,
+                                      mesh=mesh),
                    donate_argnums=(0,))
     return state, step, info
 

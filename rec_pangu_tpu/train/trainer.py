@@ -127,10 +127,30 @@ class _BaseTrainer:
             from ..models.base import OOV_SENTINEL
             from ..ops.embedding import attach_item_plan
 
+            vocab = int(enc[item_col][OOV_SENTINEL])
+            dim = int(cfg["embedding_dim"])
             force = getattr(self, "_fused_step", None) is not None
-            return attach_item_plan(batch, int(enc[item_col][OOV_SENTINEL]),
-                                    int(cfg["embedding_dim"]), force=force,
-                                    n_shards=n_shards)
+            hist = batch.get("hist_item_list")
+            if (n_shards > 1 and force and hist is not None
+                    and hist.shape[0] % n_shards):
+                # replicated partial batch on the fused path: one plain plan
+                return attach_item_plan(batch, vocab, dim, force=True)
+            batch = attach_item_plan(batch, vocab, dim, force=force,
+                                     n_shards=n_shards)
+            if (n_shards > 1 and (force or force_fused)
+                    and "emb_plan" in batch
+                    and "emb_plan_global" not in batch):
+                import os
+
+                from ..ops.kernels.embedding_grad import (make_sort_plan,
+                                                          padded_rows)
+
+                compact = os.environ.get(
+                    "REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
+                batch["emb_plan_global"] = make_sort_plan(
+                    np.asarray(hist, dtype=np.int64).reshape(-1),
+                    padded_rows(vocab), compact=compact)
+            return batch
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
@@ -494,19 +514,20 @@ class SequenceTrainer(_BaseTrainer):
         self._build_state(model, sample_batch, lr, len(train_loader),
                           lr_scheduler_type, scheduler_params, seed, mesh=mesh)
         # fuse the item table's Adam update into the planned backward kernel,
-        # with the streaming CE's dense grad as an extra kernel stream
-        if mesh is None:
-            from .fused_update import maybe_enable_seq_fused_update
+        # with the streaming CE's dense grad as an extra kernel stream (under
+        # a mesh: all_gather'd hist cotangent + psum'd CE grad, every chip
+        # running the identical kernel pass — seq_fused_applicable gates it)
+        from .fused_update import maybe_enable_seq_fused_update
 
-            sb = self._attach_plan(dict(sample_batch))
-            self.state, fstep, _finfo = maybe_enable_seq_fused_update(
-                self.state, model, sb, lr, len(train_loader),
-                lr_scheduler_type, scheduler_params)
-            if fstep is not None:
-                self._fused_step = fstep
-                self._train_step = fstep
-                logger.info("Item-table Adam update fused into the planned "
-                            "backward kernel (hist + softmax-CE grads)")
+        sb = self._attach_plan(dict(sample_batch), force_fused=True)
+        self.state, fstep, _finfo = maybe_enable_seq_fused_update(
+            self.state, model, sb, lr, len(train_loader),
+            lr_scheduler_type, scheduler_params, mesh=mesh)
+        if fstep is not None:
+            self._fused_step = fstep
+            self._train_step = fstep
+            logger.info("Item-table Adam update fused into the planned "
+                        "backward kernel (hist + softmax-CE grads)")
 
         logger.info("Model Starting Training")
         log_rows = []

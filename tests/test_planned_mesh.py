@@ -131,6 +131,8 @@ def test_sequence_trainer_dp_planned_matches_single_device(tmp_path):
     tr_mesh = run(make_mesh(8, 1), "seq_mesh")
     sample = tr_mesh._attach_plan(dict(batch))
     assert "emb_plan" in sample and sample["emb_plan"]["meta"].ndim == 2
+    assert getattr(tr_mesh, "_fused_step", None) is not None
+    assert "emb_plan_global" in sample
     tr_single = run(None, "seq_single")
     leaves_m = jax.tree_util.tree_leaves(tr_mesh.state.params)
     leaves_s = jax.tree_util.tree_leaves(tr_single.state.params)
