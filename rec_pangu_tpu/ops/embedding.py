@@ -62,28 +62,26 @@ class FusedEmbedding(nn.Module):
             # applied by the planned-Adam kernel from the cotangent of this
             # zero 'capture' leaf, so the table itself is held out of autodiff
             base_plan = {k: v for k, v in plan.items() if k != "capture"}
-            from ..parallel.mesh import active_mesh
-
-            mesh = active_mesh()
-            if mesh is not None:
-                from .kernels.embedding_grad import planned_value_dp
-
-                val = planned_value_dp(jax.lax.stop_gradient(self.table),
-                                       fused_ids, base_plan, mesh)
-            else:
-                val = _planned_value(jax.lax.stop_gradient(self.table),
-                                     fused_ids, base_plan)
+            val = _captured_planned_value(jax.lax.stop_gradient(self.table),
+                                          fused_ids, base_plan)
             return val + cap[f"d{self.embedding_dim}"].reshape(val.shape)
         if (plan is not None
                 and planned_path_ok(self.spec.total_rows, fused_ids.size,
                                     self.embedding_dim)):
-            if plan_matches(plan, fused_ids.size, self.table.shape[0]):
+            from ..parallel.mesh import active_mesh
+
+            if (active_mesh() is None
+                    and plan_matches(plan, fused_ids.size,
+                                     self.table.shape[0])):
                 return planned_gather(self.table, fused_ids, plan)
             dp = _dp_plan_setup(plan, fused_ids.size, self.table.shape[0])
             if dp is not None:
                 from .kernels.embedding_grad import planned_gather_dp
 
                 return planned_gather_dp(self.table, fused_ids, plan, dp)
+            # plain plan under an active mesh (replicated partial batch):
+            # keep the GSPMD-safe gather — a bare Pallas call must not reach
+            # a multi-device jit outside shard_map
         return fused_gather(self.table, fused_ids)
 
     def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
@@ -96,6 +94,27 @@ def host_fused_ids(spec: FeatureSpec, sparse) -> np.ndarray:
     """Host (numpy) replica of the fused-id computation in __call__."""
     return (np.asarray(sparse, dtype=np.int64)
             + np.asarray(spec.offsets, dtype=np.int64)[None, :]).reshape(-1)
+
+
+def _captured_planned_value(table, ids, base_plan):
+    """Forward-only planned lookup for capture mode (table stop-gradded by
+    the caller).  Dispatches on the PLAN form first: a stacked per-shard plan
+    requires the trainer's active mesh (loud error if missing — a desynced
+    global would otherwise leak bare Pallas calls into a multi-device jit);
+    a plain plan under an active mesh runs as a replicated shard_map region;
+    no mesh -> the plain path."""
+    from ..parallel.mesh import active_mesh
+    from .kernels.embedding_grad import _planned_value, planned_value_dp
+
+    mesh = active_mesh()
+    if getattr(base_plan["meta"], "ndim", 1) == 2 and mesh is None:
+        raise RuntimeError(
+            "capture batch carries a per-shard plan but no mesh is active — "
+            "call parallel.mesh.set_active_mesh(mesh) (the trainer does this "
+            "before every train/eval pass)")
+    if mesh is not None:
+        return planned_value_dp(table, ids, base_plan, mesh)
+    return _planned_value(table, ids, base_plan)
 
 
 def _dp_plan_setup(plan, num_lookups: int, table_rows: int):
@@ -119,42 +138,58 @@ def _dp_plan_setup(plan, num_lookups: int, table_rows: int):
 
 
 def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
-                    force: bool = False, n_shards: int = 1) -> dict:
+                    force: bool = False, n_shards: int = 0,
+                    with_global: bool = False) -> dict:
     """Host-side: add ``batch["emb_plan"]`` when the planned backward applies.
 
     Called by the trainer/bench at batch-prep time; a no-op for small tables,
     CPU backends, or batches without a ``sparse`` field.  ``force`` waives the
     lookup-count threshold (a perf gate only) — the fused-update train step
     needs a plan on EVERY batch, including a small final partial one.
-    ``n_shards`` > 1 builds one plan per data shard (stacked leaves) for the
-    shard_map-wrapped mesh path; the batch axis must split evenly.
+    ``n_shards`` >= 1 means MESH MODE: one plan per data shard (stacked
+    leaves — a 1-device mesh still gets a leading [1] axis) for the
+    shard_map-wrapped path; the batch axis must split evenly.  0 = the
+    single-device plain plan.  ``with_global`` additionally ships
+    ``batch["emb_plan_global"]`` (the whole-batch plan the mesh fused-update
+    kernel consumes).
     """
+    sparse = batch.get("sparse")
+    if sparse is None or "emb_plan" in batch:
+        return batch
+    _attach_plans(batch, lambda: host_fused_ids(spec, sparse),
+                  spec.total_rows, int(np.prod(sparse.shape)),
+                  embedding_dim, force, n_shards, with_global,
+                  batch_rows=sparse.shape[0])
+    return batch
+
+
+def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
+                  with_global, batch_rows):
+    """Shared body of attach_emb_plan/attach_item_plan: gate, build the
+    (per-shard) plan, optionally the global plan — flat ids computed once."""
+    import os
+
     from .kernels.embedding_grad import (make_sharded_sort_plan,
                                          make_sort_plan, padded_rows,
                                          planned_path_ok)
 
-    import os
-
-    sparse = batch.get("sparse")
-    if sparse is None or "emb_plan" in batch:
-        return batch
-    n = int(np.prod(sparse.shape))
-    if not planned_path_ok(spec.total_rows, n if not force else 2**30,
-                           embedding_dim):
-        return batch
-    if n_shards > 1 and sparse.shape[0] % n_shards:
-        return batch  # partial batch: _put replicates it; keep the gather
+    if not planned_path_ok(total_rows, n if not force else 2**30, dim):
+        return
+    if n_shards and batch_rows % n_shards:
+        return  # partial batch: _put replicates it; keep the gather
     # compact plans ship a third less data per batch at ~3 ms/step device
     # cost — for hosts whose device link, not the chip, is the bottleneck
     compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
-    fused = host_fused_ids(spec, sparse)
-    if n_shards > 1:
-        batch["emb_plan"] = make_sharded_sort_plan(
-            fused, padded_rows(spec.total_rows), n_shards, compact=compact)
+    flat = flat_ids_fn()
+    rows = padded_rows(total_rows)
+    if n_shards:  # mesh mode: stacked per-shard plan (leading [n] axis)
+        batch["emb_plan"] = make_sharded_sort_plan(flat, rows, n_shards,
+                                                   compact=compact)
+        if with_global:
+            batch["emb_plan_global"] = make_sort_plan(flat, rows,
+                                                      compact=compact)
     else:
-        batch["emb_plan"] = make_sort_plan(fused, padded_rows(spec.total_rows),
-                                           compact=compact)
-    return batch
+        batch["emb_plan"] = make_sort_plan(flat, rows, compact=compact)
 
 
 class ItemEmbedding(nn.Module):
@@ -194,17 +229,8 @@ class ItemEmbedding(nn.Module):
             # of this zero 'capture' leaf; the table is held out of autodiff
             if cap["hist"].shape[0] == ids.size:
                 base_plan = {k: v for k, v in plan.items() if k != "capture"}
-                from ..parallel.mesh import active_mesh
-
-                mesh = active_mesh()
-                if mesh is not None:
-                    from .kernels.embedding_grad import planned_value_dp
-
-                    val = planned_value_dp(jax.lax.stop_gradient(self.table),
-                                           ids, base_plan, mesh)
-                else:
-                    val = _planned_value(jax.lax.stop_gradient(self.table),
-                                         ids, base_plan)
+                val = _captured_planned_value(
+                    jax.lax.stop_gradient(self.table), ids, base_plan)
                 emb = val + cap["hist"].reshape(val.shape)
                 return emb * (ids != 0)[..., None]
             # a lookup the plan does not cover (e.g. the multi-interest
@@ -215,7 +241,10 @@ class ItemEmbedding(nn.Module):
         if (plan is not None
                 and planned_path_ok(self.vocab_size, ids.size,
                                     self.embedding_dim)):
-            if plan_matches(plan, ids.size, self.table.shape[0]):
+            from ..parallel.mesh import active_mesh
+
+            if (active_mesh() is None
+                    and plan_matches(plan, ids.size, self.table.shape[0])):
                 emb = planned_gather(self.table, ids, plan)
                 return emb * (ids != 0)[..., None]
             dp = _dp_plan_setup(plan, ids.size, self.table.shape[0])
@@ -224,39 +253,26 @@ class ItemEmbedding(nn.Module):
 
                 emb = planned_gather_dp(self.table, ids, plan, dp)
                 return emb * (ids != 0)[..., None]
+            # plain plan + active mesh: GSPMD-safe gather (see FusedEmbedding)
         emb = fused_gather(self.table, ids)
         return emb * (ids != 0)[..., None]
 
 
 def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
-                     force: bool = False, n_shards: int = 1) -> dict:
+                     force: bool = False, n_shards: int = 0,
+                     with_global: bool = False) -> dict:
     """Host-side: sort plan for the sequence hist-item lookup.  ``force``
     waives the lookup-count threshold (a perf gate only) — the fused-update
     train step needs a plan on EVERY batch, including a small final one.
-    ``n_shards`` > 1 builds a stacked per-data-shard plan (mesh path)."""
-    from .kernels.embedding_grad import (make_sharded_sort_plan,
-                                         make_sort_plan, padded_rows,
-                                         planned_path_ok)
-
-    import os
-
+    ``n_shards`` > 1 builds a stacked per-data-shard plan (mesh path);
+    ``with_global`` adds the whole-batch plan for the mesh fused update."""
     hist = batch.get("hist_item_list")
     if hist is None or "emb_plan" in batch:
         return batch
-    n = int(np.prod(hist.shape))
-    if not planned_path_ok(vocab_size, n if not force else 2**30,
-                           embedding_dim):
-        return batch
-    if n_shards > 1 and hist.shape[0] % n_shards:
-        return batch  # partial batch: _put replicates it; keep the gather
-    compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
-    flat = np.asarray(hist, dtype=np.int64).reshape(-1)
-    if n_shards > 1:
-        batch["emb_plan"] = make_sharded_sort_plan(
-            flat, padded_rows(vocab_size), n_shards, compact=compact)
-    else:
-        batch["emb_plan"] = make_sort_plan(flat, padded_rows(vocab_size),
-                                           compact=compact)
+    _attach_plans(batch,
+                  lambda: np.asarray(hist, dtype=np.int64).reshape(-1),
+                  vocab_size, int(np.prod(hist.shape)), embedding_dim,
+                  force, n_shards, with_global, batch_rows=hist.shape[0])
     return batch
 
 

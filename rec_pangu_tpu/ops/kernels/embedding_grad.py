@@ -640,11 +640,11 @@ def make_sharded_sort_plan(flat_ids, num_rows: int, n_shards: int,
     import numpy as np
 
     ids = np.asarray(flat_ids).reshape(-1)
-    if n_shards <= 1:
-        return make_sort_plan(ids, num_rows, compact)
     if ids.size % n_shards:
         raise ValueError(f"{ids.size} lookups do not split into {n_shards} "
                          f"equal data shards")
+    # n_shards == 1 still returns STACKED [1, ...] leaves: mesh-mode plans are
+    # identified by their leading shard axis (a 1-device mesh is still a mesh)
     blocks = ids.reshape(n_shards, -1)
     plans = [make_sort_plan(b, num_rows, compact) for b in blocks]
     return {k: np.stack([p[k] for p in plans]) for k in plans[0]}

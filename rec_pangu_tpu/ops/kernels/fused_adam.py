@@ -286,11 +286,9 @@ def planned_adam_update_mesh(plan, ids_stream, rows, table, mu, nu, hyper,
     ``rows_sharded=False`` handles replicated partial batches (every chip
     already holds all rows; no gather).  ``dense_grad_t``, when present, is
     replicated/psum'd by GSPMD before entering the region."""
-    import jax
+    from jax.sharding import PartitionSpec as P
 
     from ...parallel.mesh import DATA_AXIS
-
-    from jax.sharding import PartitionSpec as P
 
     def _local(plan, ids_stream, rows, table, mu, nu, hyper, *rest):
         if rows_sharded:

@@ -99,14 +99,17 @@ class _BaseTrainer:
             gplan, NamedSharding(self.mesh, P()))
         return rest
 
-    def _attach_plan(self, batch, force_fused: bool = False):
+    def _attach_plan(self, batch, force_fused: bool = False,
+                     for_train: bool = True):
         """Host-side embedding sort plan (docs/perf_notes.md §1): skips XLA's
         row-serial scatter in the embedding backward.  Under a data-parallel
         mesh (trivial 'model' axis) the plan is built PER DATA SHARD and the
-        lookup runs in a shard_map region; the fused-update step additionally
-        ships ``emb_plan_global`` for its all_gather+Adam kernel pass.  Meshes
+        lookup runs in a shard_map region; the fused-update TRAIN step
+        additionally ships ``emb_plan_global`` for its all_gather+Adam kernel
+        pass.  Eval/predict callers pass ``for_train=False``: plans remain a
+        forward-only perf hint there (no forcing, no global plan).  Meshes
         that row-shard the tables keep the plain GSPMD gather path."""
-        n_shards = 1
+        n_shards = 0  # 0 = single-device plain plan; >=1 = mesh mode
         if getattr(self, "mesh", None) is not None:
             from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -116,6 +119,12 @@ class _BaseTrainer:
         model = getattr(self, "model", None)
         if model is None:
             return batch
+        # fused-update mode needs a plan on EVERY train batch (the step's
+        # optimizer state only updates through the kernel); ``force_fused``
+        # (the enable-time probe) only adds the global plan — the lookup-count
+        # perf gate still decides whether the fused path turns on at all
+        force = for_train and getattr(self, "_fused_step", None) is not None
+        with_global = bool(n_shards) and for_train and (force or force_fused)
         if "hist_item_list" in batch:  # sequence-recall batch
             cfg = getattr(model, "config", None)
             enc = getattr(model, "enc_dict", None)
@@ -129,60 +138,27 @@ class _BaseTrainer:
 
             vocab = int(enc[item_col][OOV_SENTINEL])
             dim = int(cfg["embedding_dim"])
-            force = getattr(self, "_fused_step", None) is not None
-            hist = batch.get("hist_item_list")
-            if (n_shards > 1 and force and hist is not None
-                    and hist.shape[0] % n_shards):
+            if (n_shards and force
+                    and batch["hist_item_list"].shape[0] % n_shards):
                 # replicated partial batch on the fused path: one plain plan
+                # serves both the capture forward and the update kernel
                 return attach_item_plan(batch, vocab, dim, force=True)
-            batch = attach_item_plan(batch, vocab, dim, force=force,
-                                     n_shards=n_shards)
-            if (n_shards > 1 and (force or force_fused)
-                    and "emb_plan" in batch
-                    and "emb_plan_global" not in batch):
-                import os
-
-                from ..ops.kernels.embedding_grad import (make_sort_plan,
-                                                          padded_rows)
-
-                compact = os.environ.get(
-                    "REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
-                batch["emb_plan_global"] = make_sort_plan(
-                    np.asarray(hist, dtype=np.int64).reshape(-1),
-                    padded_rows(vocab), compact=compact)
-            return batch
+            return attach_item_plan(batch, vocab, dim, force=force,
+                                    n_shards=n_shards,
+                                    with_global=with_global)
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
             return batch
         from ..ops.embedding import attach_emb_plan
 
-        # fused-update mode needs a plan on EVERY train batch (the step's
-        # optimizer state only updates through the kernel); ``force_fused``
-        # (the enable-time probe) only adds the global plan — the lookup-count
-        # perf gate still decides whether the fused path turns on at all
-        force = getattr(self, "_fused_step", None) is not None
         sparse = batch.get("sparse")
-        if (n_shards > 1 and force and sparse is not None
+        if (n_shards and force and sparse is not None
                 and sparse.shape[0] % n_shards):
             # replicated partial batch on the fused path: one plain plan
-            # serves both the capture forward and the update kernel
             return attach_emb_plan(batch, spec, dim, force=True)
-        batch = attach_emb_plan(batch, spec, dim, force=force,
-                                n_shards=n_shards)
-        if (n_shards > 1 and (force or force_fused) and "emb_plan" in batch
-                and "emb_plan_global" not in batch):
-            import os
-
-            from ..ops.embedding import host_fused_ids
-            from ..ops.kernels.embedding_grad import (make_sort_plan,
-                                                      padded_rows)
-
-            compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
-            batch["emb_plan_global"] = make_sort_plan(
-                host_fused_ids(spec, sparse), padded_rows(spec.total_rows),
-                compact=compact)
-        return batch
+        return attach_emb_plan(batch, spec, dim, force=force,
+                               n_shards=n_shards, with_global=with_global)
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
@@ -228,6 +204,16 @@ class _BaseTrainer:
         self._rng = jax.random.PRNGKey(seed + 1)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
         logger.info(f"Model initialized: {n_params:,} parameters")
+
+    def _activate_mesh(self):
+        """Re-assert this trainer's mesh as the trace-time active mesh.
+        Called at the top of every method that can (re)trace a step — two
+        interleaved trainers on different meshes would otherwise desync the
+        capture forward (traced against the global) from the update kernel
+        (mesh captured in the step closure)."""
+        from ..parallel.mesh import set_active_mesh
+
+        set_active_mesh(getattr(self, "mesh", None))
 
     def _variables(self):
         v = {"params": self.state.params}
@@ -370,6 +356,7 @@ class RankTrainer(_BaseTrainer):
         return train_metric
 
     def _train_one_epoch(self, train_loader, epoch_idx: int, log_rounds: int):
+        self._activate_mesh()
         profiling = getattr(self, "_profile_dir", None) and epoch_idx == 1
         if profiling:
             jax.profiler.start_trace(self._profile_dir)
@@ -447,10 +434,11 @@ class RankTrainer(_BaseTrainer):
     def evaluate_model(self, model, test_loader: DataLoader, device=None) -> Dict[str, float]:
         """Parity: model_pipeline.test_model — names 'roc_auc_score'/'log_loss'
         for single task, 'test_task{i}_*' for multi-task."""
+        self._activate_mesh()
         preds, labels = [], []
         for batch in test_loader:
             batch, _ = strip_host_keys(batch)
-            batch = self._attach_plan(batch)  # scan-select forward at eval too
+            batch = self._attach_plan(batch, for_train=False)  # scan-select fwd
             batch = self._put(batch)
             out = self._eval_step(self.state, batch)
             if self.num_task == 1:
@@ -468,10 +456,11 @@ class RankTrainer(_BaseTrainer):
 
     def predict_dataloader(self, model, test_loader: DataLoader, device=None) -> np.ndarray:
         """Parity: trainer.py:182-213."""
+        self._activate_mesh()
         preds = []
         for batch in test_loader:
             batch, _ = strip_host_keys(batch)
-            batch = self._attach_plan(batch)
+            batch = self._attach_plan(batch, for_train=False)
             out = self._eval_step(self.state, batch)
             if self.num_task == 1:
                 preds.append(np.asarray(out["pred"]).reshape(-1))
@@ -520,6 +509,10 @@ class SequenceTrainer(_BaseTrainer):
         from .fused_update import maybe_enable_seq_fused_update
 
         sb = self._attach_plan(dict(sample_batch), force_fused=True)
+        if self._pending_pretrained:
+            # frozen pretrained rows ride the masked-optax freeze chain, which
+            # the fused kernel's whole-table Adam pass would bypass
+            sb.pop("emb_plan", None), sb.pop("emb_plan_global", None)
         self.state, fstep, _finfo = maybe_enable_seq_fused_update(
             self.state, model, sb, lr, len(train_loader),
             lr_scheduler_type, scheduler_params, mesh=mesh)
@@ -533,6 +526,7 @@ class SequenceTrainer(_BaseTrainer):
         log_rows = []
         best_epoch, best_metric = -1, -np.inf
         for i in range(1, epoch + 1):
+            self._activate_mesh()
             start = time.time()
             max_iter = len(train_loader)
             for idx, batch in enumerate(train_loader):
@@ -574,6 +568,7 @@ class SequenceTrainer(_BaseTrainer):
         retrieval then per-k recall/ndcg/hitrate.  ``approx_recall_target``
         (e.g. 0.99) opts into the TPU approx top-k candidate scorer."""
         topk_list = topk_list or [20, 50, 100]
+        self._activate_mesh()
         test_gd = test_loader.dataset.get_test_gd()
         preds = get_recall_predict(self.model, self._variables(), test_loader,
                                    topn=200, mesh=getattr(self, "mesh", None),

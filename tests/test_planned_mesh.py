@@ -100,6 +100,12 @@ def test_trainer_dp_planned_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
 
+    # eval under the mesh exercises the sharded-plan scan-select forward
+    em = tr_mesh.evaluate_model(None, [dict(batches[0])])
+    es = tr_single.evaluate_model(None, [dict(batches[0])])
+    assert abs(em["roc_auc_score"] - es["roc_auc_score"]) < 1e-3
+    assert abs(em["log_loss"] - es["log_loss"]) < 1e-3
+
 
 def test_sequence_trainer_dp_planned_matches_single_device(tmp_path):
     """SequenceTrainer: the hist-item lookup's sharded plan + shard_map
