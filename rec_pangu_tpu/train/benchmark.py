@@ -29,7 +29,8 @@ class BenchmarkTrainer:
 
     def run(self, train_loader, valid_loader, test_loader, enc_dict: dict,
             epoch: int = 10, lr: float = 1e-3, device=None,
-            model_kwargs: Optional[Dict[str, dict]] = None) -> pd.DataFrame:
+            model_kwargs: Optional[Dict[str, dict]] = None,
+            mesh=None) -> pd.DataFrame:
         rows = []
         model_kwargs = model_kwargs or {}
         for model_name in self.model_list:
@@ -40,15 +41,21 @@ class BenchmarkTrainer:
                 num_task=self.num_task,
                 model_ckpt_dir=os.path.join(self.model_ckpt_dir, model_name))
             t0 = time.time()
-            trainer.fit(model, train_loader, valid_loader, epoch=epoch, lr=lr)
-            train_ms = round((time.time() - t0) * 1000, 1)
+            trainer.fit(model, train_loader, valid_loader, epoch=epoch, lr=lr,
+                        mesh=mesh)
+            train_s = time.time() - t0
+            train_ms = round(train_s * 1000, 1)
+            n_examples = epoch * sum(
+                len(b["label"]) for b in train_loader)
             valid_metric = trainer.evaluate_model(model, valid_loader)
             t0 = time.time()
             test_metric = trainer.evaluate_model(model, test_loader)
             test_ms = round((time.time() - t0) * 1000, 1)
             row = {"model_name": model_name,
                    "train_model_time(ms)": train_ms,
-                   "test_model_time(ms)": test_ms}
+                   "test_model_time(ms)": test_ms,
+                   # north-star throughput counter (wall-clock incl. compile)
+                   "examples_per_s": round(n_examples / max(train_s, 1e-9), 1)}
             row.update({f"valid_{k}": v for k, v in valid_metric.items()})
             row.update({f"test_{k}": v for k, v in test_metric.items()})
             rows.append(row)

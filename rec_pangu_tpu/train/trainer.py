@@ -167,6 +167,10 @@ class _BaseTrainer:
         from ..utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if os.environ.get("REC_PANGU_TPU_DEBUG_NANS", "0") in ("1", "on", "true"):
+            # debug aid (SURVEY.md §5): jit re-runs op-by-op on NaN and raises
+            # with the producing op — costs recompiles, never use in production
+            jax.config.update("jax_debug_nans", True)
         self.mesh = mesh
         from ..parallel.mesh import set_active_mesh
 
