@@ -79,6 +79,11 @@ class FusedEmbedding(nn.Module):
                 from .kernels.embedding_grad import planned_gather_dp
 
                 return planned_gather_dp(self.table, fused_ids, plan, dp)
+            tp = _tp_plan_setup(plan, fused_ids.size, self.table.shape[0])
+            if tp is not None:
+                from .kernels.embedding_grad import planned_gather_tp
+
+                return planned_gather_tp(self.table, fused_ids, plan, tp)
             # plain plan under an active mesh (replicated partial batch):
             # keep the GSPMD-safe gather — a bare Pallas call must not reach
             # a multi-device jit outside shard_map
@@ -137,9 +142,30 @@ def _dp_plan_setup(plan, num_lookups: int, table_rows: int):
     return mesh
 
 
+def _tp_plan_setup(plan, num_lookups: int, table_rows: int):
+    """Trace-time gate for the tensor-parallel planned path: a TP plan
+    ([n_data, n_model, ...] leaves), an active mesh with a non-trivial
+    'model' axis over which the table row-shards evenly, matching shapes."""
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, active_mesh
+    from .kernels.embedding_grad import tp_plan_matches
+
+    meta = plan.get("meta") if isinstance(plan, dict) else None
+    if meta is None or getattr(meta, "ndim", 1) != 3:
+        return None
+    mesh = active_mesh()
+    if mesh is None or mesh.shape[MODEL_AXIS] == 1:
+        return None
+    if table_rows % mesh.shape[MODEL_AXIS]:
+        return None
+    if not tp_plan_matches(plan, num_lookups, table_rows,
+                           mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]):
+        return None
+    return mesh
+
+
 def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
                     force: bool = False, n_shards: int = 0,
-                    with_global: bool = False) -> dict:
+                    with_global: bool = False, n_model: int = 1) -> dict:
     """Host-side: add ``batch["emb_plan"]`` when the planned backward applies.
 
     Called by the trainer/bench at batch-prep time; a no-op for small tables,
@@ -159,19 +185,21 @@ def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
     _attach_plans(batch, lambda: host_fused_ids(spec, sparse),
                   spec.total_rows, int(np.prod(sparse.shape)),
                   embedding_dim, force, n_shards, with_global,
-                  batch_rows=sparse.shape[0])
+                  batch_rows=sparse.shape[0], n_model=n_model)
     return batch
 
 
 def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
-                  with_global, batch_rows):
+                  with_global, batch_rows, n_model: int = 1):
     """Shared body of attach_emb_plan/attach_item_plan: gate, build the
-    (per-shard) plan, optionally the global plan — flat ids computed once."""
+    (per-shard / TP) plan, optionally the global plan — flat ids computed
+    once.  ``n_model`` > 1 builds the tensor-parallel plan for a table
+    row-sharded over 'model' (capacity overflow -> no plan, GSPMD gather)."""
     import os
 
     from .kernels.embedding_grad import (make_sharded_sort_plan,
-                                         make_sort_plan, padded_rows,
-                                         planned_path_ok)
+                                         make_sort_plan, make_tp_sort_plan,
+                                         padded_rows, planned_path_ok)
 
     if not planned_path_ok(total_rows, n if not force else 2**30, dim):
         return
@@ -182,6 +210,12 @@ def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
     compact = os.environ.get("REC_PANGU_TPU_COMPACT_PLAN", "0") == "1"
     flat = flat_ids_fn()
     rows = padded_rows(total_rows)
+    if n_model > 1:  # tensor-parallel: per-(data, model)-shard subset plans
+        plan = make_tp_sort_plan(flat, rows, n_model,
+                                 n_data=max(n_shards, 1))
+        if plan is not None:
+            batch["emb_plan"] = plan
+        return
     if n_shards:  # mesh mode: stacked per-shard plan (leading [n] axis)
         batch["emb_plan"] = make_sharded_sort_plan(flat, rows, n_shards,
                                                    compact=compact)
@@ -253,6 +287,12 @@ class ItemEmbedding(nn.Module):
 
                 emb = planned_gather_dp(self.table, ids, plan, dp)
                 return emb * (ids != 0)[..., None]
+            tp = _tp_plan_setup(plan, ids.size, self.table.shape[0])
+            if tp is not None:
+                from .kernels.embedding_grad import planned_gather_tp
+
+                emb = planned_gather_tp(self.table, ids, plan, tp)
+                return emb * (ids != 0)[..., None]
             # plain plan + active mesh: GSPMD-safe gather (see FusedEmbedding)
         emb = fused_gather(self.table, ids)
         return emb * (ids != 0)[..., None]
@@ -260,7 +300,7 @@ class ItemEmbedding(nn.Module):
 
 def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
                      force: bool = False, n_shards: int = 0,
-                     with_global: bool = False) -> dict:
+                     with_global: bool = False, n_model: int = 1) -> dict:
     """Host-side: sort plan for the sequence hist-item lookup.  ``force``
     waives the lookup-count threshold (a perf gate only) — the fused-update
     train step needs a plan on EVERY batch, including a small final one.
@@ -272,7 +312,8 @@ def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
     _attach_plans(batch,
                   lambda: np.asarray(hist, dtype=np.int64).reshape(-1),
                   vocab_size, int(np.prod(hist.shape)), embedding_dim,
-                  force, n_shards, with_global, batch_rows=hist.shape[0])
+                  force, n_shards, with_global, batch_rows=hist.shape[0],
+                  n_model=n_model)
     return batch
 
 

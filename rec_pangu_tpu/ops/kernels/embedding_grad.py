@@ -363,6 +363,156 @@ def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
     return plan
 
 
+def _subset_plan(rel_ids, positions, num_rows: int, k_chunks: int):
+    """Sort plan over a SUBSET of ids (already relative to a table shard)
+    with a FIXED chunk capacity ``k_chunks``.  ``positions[i]`` is the index
+    of subset entry i in the original flat id array — perm values are
+    global, so the chunk kernels consume cotangent rows in original batch
+    order unchanged.  Returns (plan, slots) where ``slots[i]`` is entry i's
+    stream slot, or None when the subset overflows the capacity."""
+    import ctypes
+
+    import numpy as np
+
+    rel = np.ascontiguousarray(rel_ids, dtype=np.int64).reshape(-1)
+    positions = np.asarray(positions, dtype=np.int64).reshape(-1)
+    n = rel.shape[0]
+    tile = _tile_rows(num_rows)
+    v_pad = -(-num_rows // tile) * tile
+    t_tiles = v_pad // tile
+
+    from ...native.build import get_lib
+
+    lib = get_lib()
+    if (lib is not None and hasattr(lib, "build_sort_plan")
+            and not (tile & (tile - 1))):
+        meta = np.empty((k_chunks,), np.int32)
+        ids_stream = np.empty((k_chunks * CHUNK,), np.int32)
+        perm = np.empty((k_chunks * CHUNK,), np.int32)
+        inv_perm = np.empty((max(n, 1),), np.int32)
+        counts = np.empty((t_tiles,), np.int64)
+        base = np.empty((t_tiles + 1,), np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = lib.build_sort_plan(
+            rel.ctypes.data_as(i64p), n, num_rows, tile, CHUNK, k_chunks,
+            meta.ctypes.data_as(i32p), ids_stream.ctypes.data_as(i32p),
+            perm.ctypes.data_as(i32p), inv_perm.ctypes.data_as(i32p),
+            counts.ctypes.data_as(i64p), base.ctypes.data_as(i64p))
+        if rc != 0:
+            return None  # capacity overflow (range was pre-validated)
+        mask = perm >= 0
+        perm_g = np.full_like(perm, -1)
+        perm_g[mask] = positions[perm[mask]]
+        plan = {"meta": meta, "perm": perm_g,
+                "tile_starts": base.astype(np.int32),
+                "sorted_ids": ids_stream.reshape(k_chunks, CHUNK)}
+        return plan, inv_perm[:n].copy()
+
+    # numpy fallback (same layout; order within a tile is irrelevant)
+    order = np.argsort(rel, kind="stable").astype(np.int64)
+    sorted_ids = rel[order]
+    starts = np.searchsorted(
+        sorted_ids, np.arange(t_tiles + 1, dtype=np.int64) * tile)
+    n_t = np.diff(starts)
+    cpt = np.maximum(1, -(-n_t // CHUNK))
+    base = np.concatenate([[0], np.cumsum(cpt)])
+    used = int(base[-1])
+    if used > k_chunks:
+        return None
+    perm_g = np.full((k_chunks * CHUNK,), -1, np.int32)
+    slots = np.zeros((n,), np.int32)
+    ids_stream = np.full((k_chunks * CHUNK,), v_pad + tile, np.int32)
+    if n:
+        tile_of = sorted_ids // tile
+        rank = np.arange(n, dtype=np.int64) - starts[tile_of]
+        dest = base[tile_of] * CHUNK + rank
+        perm_g[dest] = positions[order]
+        slots[order] = dest
+        ids_stream[dest] = sorted_ids
+    chunk_tile = np.full((k_chunks,), t_tiles - 1, np.int64)
+    first = np.zeros((k_chunks,), np.int64)
+    real = np.zeros((k_chunks,), np.int64)
+    tile_per_chunk = np.repeat(np.arange(t_tiles, dtype=np.int64), cpt)
+    chunk_tile[:used] = tile_per_chunk
+    first[base[:-1]] = 1
+    local_c = np.arange(used, dtype=np.int64) - base[tile_per_chunk]
+    real[:used] = local_c * CHUNK < n_t[tile_per_chunk]
+    meta = ((chunk_tile << 2) | (first << 1) | real).astype(np.int32)
+    plan = {"meta": meta, "perm": perm_g,
+            "tile_starts": base.astype(np.int32),
+            "sorted_ids": ids_stream.reshape(k_chunks, CHUNK)}
+    return plan, slots
+
+
+def tp_capacity_chunks(num_lookups_local: int, shard_rows: int,
+                       n_model: int) -> int:
+    """Static per-shard chunk capacity for TP plans: room for
+    ``capacity_slack`` times the balanced share of one data shard's lookups
+    (REC_PANGU_TPU_TP_SLACK, default 2.0 — item popularity is skewed, so the
+    hottest table shard routinely sees more than N/m ids)."""
+    import math
+    import os
+
+    slack = float(os.environ.get("REC_PANGU_TPU_TP_SLACK", "2.0"))
+    cap_n = min(num_lookups_local,
+                int(math.ceil(num_lookups_local / n_model * slack)))
+    return plan_chunks(cap_n, shard_rows)
+
+
+def make_tp_sort_plan(flat_ids, num_rows: int, n_model: int,
+                      n_data: int = 1):
+    """Host plans for the tensor-parallel (row-sharded table) lookup.
+
+    For each (data shard i, model shard j): a capacity-bounded subset plan
+    over i's ids owned by j (relative to j's row range).  Device (i, j)
+    scan-selects its stream from its table shard; one all_gather over
+    'model' reassembles, and ``inv_perm_global`` un-permutes.  Returns None
+    when any bucket overflows the capacity (the caller falls back to the
+    GSPMD gather for that batch) — with REC_PANGU_TPU_TP_SLACK=2.0 this is
+    rare for hashed ids and possible for very skewed batches.
+
+    Leaves: plan arrays [n_data, n_model, ...] + inv_perm_global
+    [n_data, N/n_data]."""
+    import numpy as np
+
+    ids = np.asarray(flat_ids, dtype=np.int64).reshape(-1)
+    n = ids.size
+    if num_rows % n_model or n % max(n_data, 1):
+        return None
+    shard_rows = num_rows // n_model
+    n_l = n // n_data
+    if n and (ids.min() < 0 or ids.max() >= num_rows):
+        raise ValueError(
+            f"id out of range for a {num_rows}-row table — build the plan "
+            f"with padded_rows(total_rows)")
+    k_c = tp_capacity_chunks(n_l, shard_rows, n_model)
+    cap_slots = k_c * CHUNK
+    per_ij = []
+    inv_global = np.zeros((n_data, n_l), np.int32)
+    for i in range(n_data):
+        lo = ids[i * n_l:(i + 1) * n_l]
+        owner = lo // shard_rows
+        row = []
+        for j in range(n_model):
+            idx = np.nonzero(owner == j)[0]
+            res = _subset_plan(lo[idx] - j * shard_rows, idx,
+                               shard_rows, k_c)
+            if res is None:
+                return None  # bucket overflow -> caller falls back
+            plan_j, slots = res
+            inv_global[i, idx] = j * cap_slots + slots
+            row.append(plan_j)
+        per_ij.append(row)
+    stacked = {
+        k: np.stack([np.stack([per_ij[i][j][k] for j in range(n_model)])
+                     for i in range(n_data)])
+        for k in per_ij[0][0]
+    }
+    stacked["inv_perm_global"] = inv_global
+    return stacked
+
+
 def stream_ids(plan, flat_ids: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     """[K, 128] per-slot ids: shipped with the plan by default; compact plans
     rebuild them on device (a latency-bound 1-D gather, ~3 ms at 131k ids —
@@ -422,15 +572,18 @@ def _chunk_kernel(meta_ref, ids_ref, rows_ref, out_ref, *, dim, tile_rows,
 
 def presorted_segment_accumulate(plan, rows: jnp.ndarray,
                                  num_rows: int,
-                                 ids_stream: jnp.ndarray) -> jnp.ndarray:
+                                 ids_stream: jnp.ndarray,
+                                 capacity_ok: bool = False) -> jnp.ndarray:
     """Dense [num_rows, D] grad from cotangent rows [N, D] + host sort plan.
-    ``ids_stream`` is ``stream_ids(plan, flat_ids, num_rows)``."""
+    ``ids_stream`` is ``stream_ids(plan, flat_ids, num_rows)``.
+    ``capacity_ok`` skips the chunk-count check for capacity-bounded plans
+    (the TP subset plans), whose K is a capacity, not plan_chunks(N)."""
     n, dim = rows.shape
     tile = _tile_rows(num_rows)
     v_pad = -(-num_rows // tile) * tile
     k_chunks = plan["meta"].shape[0]
     expected = plan_chunks(n, num_rows)
-    if k_chunks != expected:
+    if k_chunks != expected and not capacity_ok:
         raise ValueError(
             f"sort plan was built for a different table/batch: {k_chunks} "
             f"chunks, expected {expected} for {n} lookups into {num_rows} "
@@ -514,7 +667,9 @@ def _select_kernel(meta_ref, ids_ref, table_ref, out_ref, *, dim, tile_rows,
 _SCAN_FWD_DENSITY = 24
 
 
-def _scan_select_forward(table, ids, plan, ids_stream):
+def _select_stream(table, plan, ids_stream) -> jnp.ndarray:
+    """The scan-select kernel's raw output: per-slot rows [K*128, D] in
+    stream order (padding slots zero)."""
     num_rows, dim = table.shape
     tile = _tile_rows(num_rows)
     k_chunks = plan["meta"].shape[0]
@@ -530,15 +685,19 @@ def _scan_select_forward(table, ids, plan, ids_stream):
         out_specs=pl.BlockSpec((CHUNK, dim), lambda k, meta: (k, 0),
                                memory_space=pltpu.VMEM),
     )
-    stream = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_select_kernel, dim=dim, tile_rows=tile,
                           mode=_grad_mode()),
         grid_spec=grid_spec,
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((k_chunks * CHUNK, dim), jnp.float32),
     )(plan["meta"], ids_stream, table.T)
+
+
+def _scan_select_forward(table, ids, plan, ids_stream):
+    stream = _select_stream(table, plan, ids_stream)
     flat = jnp.take(stream, plan["inv_perm"], axis=0)  # un-permute (small src)
-    return flat.reshape(ids.shape + (dim,)).astype(table.dtype)
+    return flat.reshape(ids.shape + (table.shape[1],)).astype(table.dtype)
 
 
 def _scan_fwd_ok(table, ids, plan) -> bool:
@@ -590,6 +749,107 @@ def _planned_bwd(res, g):
 
 
 planned_gather.defvjp(_planned_fwd, _planned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel planned path (SURVEY.md §7.3 hard part #1): the table is
+# ROW-SHARDED over the 'model' axis.  The host buckets each data shard's ids
+# by owning table shard into capacity-bounded subset plans; device (i, j)
+# scan-selects its stream [C, D] from its local rows, ONE all_gather over
+# 'model' reassembles all streams, and a host-computed global inverse
+# permutation restores batch order.  Backward: each table shard accumulates
+# its own rows from the LOCAL cotangent with the chunk kernel (perm indexes
+# the local batch), and shard_map's transpose adds the one psum over 'data'
+# that DP requires — no collective touches anything table-sized.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _tp_planned_gather(table_shard, ids, plan_ij, inv_i):
+    return _tp_value(table_shard, ids, plan_ij, inv_i)
+
+
+def _tp_value(table_shard, ids, plan_ij, inv_i):
+    from ...parallel.mesh import MODEL_AXIS
+
+    shard_rows = table_shard.shape[0]
+    ids_stream = plan_ij["sorted_ids"]  # TP plans always ship the stream
+    # stream slots ~= 2x the real per-shard entries (capacity slack), so
+    # halve the scan-vs-gather density gate used by the single-table path
+    if ids_stream.size * (_SCAN_FWD_DENSITY // 2) >= shard_rows:
+        stream = _select_stream(table_shard, plan_ij, ids_stream)
+    else:
+        # low density: per-slot gather (sentinel slots clip; never read back)
+        stream = jnp.take(table_shard, ids_stream.reshape(-1), axis=0,
+                          mode="clip").astype(jnp.float32)
+    all_stream = jax.lax.all_gather(stream, MODEL_AXIS, axis=0, tiled=True)
+    flat = jnp.take(all_stream, inv_i, axis=0)
+    return flat.reshape(ids.shape + (table_shard.shape[1],)).astype(
+        table_shard.dtype)
+
+
+def _tp_fwd(table_shard, ids, plan_ij, inv_i):
+    value = _tp_value(table_shard, ids, plan_ij, inv_i)
+    return value, (plan_ij, table_shard.shape[0])
+
+
+def _tp_bwd(res, g):
+    from ...parallel.mesh import MODEL_AXIS
+
+    plan_ij, shard_rows = res
+    # The region's output is replicated over 'model' (identical after the
+    # all_gather), but with check_vma=False shard_map cannot prove it and
+    # splits the incoming cotangent 1/m across the model axis (measured on
+    # jax 0.9; tests/test_planned_mesh.py::test_planned_gather_tp_matches_take
+    # locks the end-to-end gradient, so a semantics change fails loudly).
+    scale = jnp.float32(jax.lax.psum(1, MODEL_AXIS))
+    rows = g.reshape(-1, g.shape[-1]).astype(jnp.float32) * scale
+    grad = presorted_segment_accumulate(plan_ij, rows, shard_rows,
+                                        plan_ij["sorted_ids"],
+                                        capacity_ok=True)
+    return grad.astype(g.dtype), None, None, None
+
+
+_tp_planned_gather.defvjp(_tp_fwd, _tp_bwd)
+
+
+def tp_plan_matches(plan, num_lookups: int, num_rows: int,
+                    n_data: int, n_model: int) -> bool:
+    """Shape check for a TP plan ([n_data, n_model, ...] leaves)."""
+    if plan is None or "meta" not in plan or "inv_perm_global" not in plan:
+        return False
+    meta = plan["meta"]
+    if getattr(meta, "ndim", 1) != 3 or num_lookups % max(n_data, 1):
+        return False
+    if num_rows % n_model:
+        return False
+    n_l = num_lookups // n_data
+    k_c = tp_capacity_chunks(n_l, num_rows // n_model, n_model)
+    return (meta.shape == (n_data, n_model, k_c)
+            and plan["perm"].shape == (n_data, n_model, k_c * CHUNK)
+            and plan["inv_perm_global"].shape == (n_data, n_l))
+
+
+def planned_gather_tp(table: jnp.ndarray, ids: jnp.ndarray, plan,
+                      mesh) -> jnp.ndarray:
+    """planned_gather for a table row-sharded over 'model' and a batch
+    sharded over 'data'; ``plan`` from ``make_tp_sort_plan``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    inv = plan["inv_perm_global"]
+    plans = {k: v for k, v in plan.items() if k != "inv_perm_global"}
+
+    def _local(table_shard, ids_l, plans_ij, inv_i):
+        p = {k: v[0, 0] for k, v in plans_ij.items()}
+        return _tp_planned_gather(table_shard, ids_l, p, inv_i[0])
+
+    return jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS, MODEL_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_vma=False,
+    )(table, ids, plans, inv)
 
 
 def planned_path_ok(num_rows: int, num_lookups: int, dim: int) -> bool:

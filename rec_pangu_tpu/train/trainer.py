@@ -110,11 +110,11 @@ class _BaseTrainer:
         forward-only perf hint there (no forcing, no global plan).  Meshes
         that row-shard the tables keep the plain GSPMD gather path."""
         n_shards = 0  # 0 = single-device plain plan; >=1 = mesh mode
+        n_model = 1   # >1 = tensor-parallel row-sharded tables
         if getattr(self, "mesh", None) is not None:
             from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-            if self.mesh.shape[MODEL_AXIS] != 1:
-                return batch
+            n_model = self.mesh.shape[MODEL_AXIS]
             n_shards = self.mesh.shape[DATA_AXIS]
         model = getattr(self, "model", None)
         if model is None:
@@ -124,7 +124,8 @@ class _BaseTrainer:
         # (the enable-time probe) only adds the global plan — the lookup-count
         # perf gate still decides whether the fused path turns on at all
         force = for_train and getattr(self, "_fused_step", None) is not None
-        with_global = bool(n_shards) and for_train and (force or force_fused)
+        with_global = (n_shards > 0 and n_model == 1 and for_train
+                       and (force or force_fused))
         if "hist_item_list" in batch:  # sequence-recall batch
             cfg = getattr(model, "config", None)
             enc = getattr(model, "enc_dict", None)
@@ -145,7 +146,7 @@ class _BaseTrainer:
                 return attach_item_plan(batch, vocab, dim, force=True)
             return attach_item_plan(batch, vocab, dim, force=force,
                                     n_shards=n_shards,
-                                    with_global=with_global)
+                                    with_global=with_global, n_model=n_model)
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
@@ -158,7 +159,8 @@ class _BaseTrainer:
             # replicated partial batch on the fused path: one plain plan
             return attach_emb_plan(batch, spec, dim, force=True)
         return attach_emb_plan(batch, spec, dim, force=force,
-                               n_shards=n_shards, with_global=with_global)
+                               n_shards=n_shards, with_global=with_global,
+                               n_model=n_model)
 
     # ---------------------------------------------------------------- engine
     def _build_state(self, model, sample_batch, lr, steps_per_epoch,
