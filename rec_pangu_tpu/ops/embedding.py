@@ -189,6 +189,27 @@ def attach_emb_plan(batch: dict, spec: FeatureSpec, embedding_dim: int,
     return batch
 
 
+_TP_OVERFLOW_WARNED = False
+
+
+def _warn_tp_overflow_once(n_model: int) -> None:
+    """One log line the first time a batch's shard buckets overflow the TP
+    plan capacity — otherwise the planned path could silently disengage for
+    every batch (e.g. a skewed static feature layout) while the user
+    benchmarks the GSPMD gather believing the kernels are active."""
+    global _TP_OVERFLOW_WARNED
+    if _TP_OVERFLOW_WARNED:
+        return
+    _TP_OVERFLOW_WARNED = True
+    from ..utils.logging import logger
+
+    logger.warning(
+        f"TP embedding plan skipped: a table shard's id bucket overflowed "
+        f"the capacity (REC_PANGU_TPU_TP_SLACK x N/{n_model}); this batch "
+        f"(and any like it) uses the GSPMD gather instead of the planned "
+        f"kernels.  Raise REC_PANGU_TPU_TP_SLACK if this repeats.")
+
+
 def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
                   with_global, batch_rows, n_model: int = 1):
     """Shared body of attach_emb_plan/attach_item_plan: gate, build the
@@ -215,6 +236,8 @@ def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
                                  n_data=max(n_shards, 1))
         if plan is not None:
             batch["emb_plan"] = plan
+        else:
+            _warn_tp_overflow_once(n_model)
         return
     if n_shards:  # mesh mode: stacked per-shard plan (leading [n] axis)
         batch["emb_plan"] = make_sharded_sort_plan(flat, rows, n_shards,

@@ -238,53 +238,6 @@ def plan_chunks(num_lookups: int, num_rows: int) -> int:
     return -(-k // 8) * 8  # ids are fetched in (8, 128) blocks
 
 
-def _native_sort_plan(flat_ids, num_rows: int, compact: bool = False):
-    """C++ two-pass counting-sort plan builder (~0.5 ms for 131k ids vs
-    ~12 ms for the numpy argsort path).  Returns None when the native lib is
-    unavailable; entry order within a tile differs from the numpy path —
-    irrelevant to the kernels, which match exact ids."""
-    import ctypes
-
-    import numpy as np
-
-    from ...native.build import get_lib
-
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "build_sort_plan"):
-        return None
-    ids64 = np.ascontiguousarray(flat_ids, dtype=np.int64).reshape(-1)
-    n = ids64.shape[0]
-    tile = _tile_rows(num_rows)
-    v_pad = -(-num_rows // tile) * tile
-    t_tiles = v_pad // tile
-    if tile & (tile - 1):
-        return None  # native path needs a power-of-two tile
-    k = plan_chunks(n, num_rows)
-    meta = np.empty((k,), np.int32)
-    ids_stream = np.empty((k * CHUNK,), np.int32)
-    perm = np.empty((k * CHUNK,), np.int32)
-    inv_perm = np.empty((max(n, 1),), np.int32)
-    counts = np.empty((t_tiles,), np.int64)
-    base = np.empty((t_tiles + 1,), np.int64)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    rc = lib.build_sort_plan(
-        ids64.ctypes.data_as(i64p), n, num_rows, tile, CHUNK, k,
-        meta.ctypes.data_as(i32p), ids_stream.ctypes.data_as(i32p),
-        perm.ctypes.data_as(i32p), inv_perm.ctypes.data_as(i32p),
-        counts.ctypes.data_as(i64p), base.ctypes.data_as(i64p))
-    if rc != 0:
-        raise ValueError(
-            f"id out of range for a {num_rows}-row table — build the plan "
-            f"with padded_rows(total_rows)")
-    plan = {"meta": meta, "perm": perm, "inv_perm": inv_perm[:n],
-            # per-tile chunk span [T+1], for the tile-major fused-Adam kernel
-            "tile_starts": base.astype(np.int32)}
-    if not compact:
-        plan["sorted_ids"] = ids_stream.reshape(k, CHUNK)
-    return plan
-
-
 def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
     """Host-side (numpy) sort plan for a batch of fused embedding ids.
 
@@ -310,56 +263,19 @@ def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
     """
     import numpy as np
 
-    native = _native_sort_plan(flat_ids, num_rows, compact)
-    if native is not None:
-        return native
-    flat_ids = np.asarray(flat_ids).reshape(-1)
+    flat_ids = np.asarray(flat_ids, dtype=np.int64).reshape(-1)
     n = flat_ids.shape[0]
-    if n and int(flat_ids.max()) >= num_rows:
+    if n and (int(flat_ids.min()) < 0 or int(flat_ids.max()) >= num_rows):
         raise ValueError(
-            f"id {int(flat_ids.max())} out of range for a {num_rows}-row "
-            f"table — build the plan with padded_rows(total_rows)")
-    tile = _tile_rows(num_rows)
-    v_pad = -(-num_rows // tile) * tile
-    t_tiles = v_pad // tile
-    order = np.argsort(flat_ids, kind="stable").astype(np.int32)
-    sorted_ids = flat_ids[order].astype(np.int64)
-    starts = np.searchsorted(
-        sorted_ids, np.arange(t_tiles + 1, dtype=np.int64) * tile)
-    n_t = np.diff(starts)                          # entries per tile
-    cpt = np.maximum(1, -(-n_t // CHUNK))          # chunks per tile (>=1)
-    base = np.concatenate([[0], np.cumsum(cpt)])   # first chunk of each tile
-    used = int(base[-1])
+            f"id out of range for a {num_rows}-row table — build the plan "
+            f"with padded_rows(total_rows)")
     K = plan_chunks(n, num_rows)
-    assert used <= K, (used, K)
-
-    perm_stream = np.full((K * CHUNK,), -1, np.int32)
-    inv_perm = np.zeros((n,), np.int32)
-    if n:
-        tile_of = sorted_ids // tile
-        rank = np.arange(n, dtype=np.int64) - starts[tile_of]
-        dest = base[tile_of] * CHUNK + rank
-        perm_stream[dest] = order
-        inv_perm[order] = dest  # original position -> its stream slot
-
-    chunk_tile = np.full((K,), t_tiles - 1, np.int64)  # padding -> last tile
-    first = np.zeros((K,), np.int64)
-    real = np.zeros((K,), np.int64)
-    tile_per_chunk = np.repeat(np.arange(t_tiles, dtype=np.int64), cpt)
-    chunk_tile[:used] = tile_per_chunk
-    first[base[:-1]] = 1
-    local_c = np.arange(used, dtype=np.int64) - base[tile_per_chunk]
-    real[:used] = local_c * CHUNK < n_t[tile_per_chunk]
-    meta = (chunk_tile << 2) | (first << 1) | real
-    plan = {"meta": meta.astype(np.int32), "perm": perm_stream,
-            "inv_perm": inv_perm,
-            # per-tile chunk span [T+1], for the tile-major fused-Adam kernel
-            "tile_starts": base.astype(np.int32)}
-    if not compact:
-        ids_stream = np.full((K * CHUNK,), v_pad + tile, np.int32)
-        if n:
-            ids_stream[dest] = sorted_ids
-        plan["sorted_ids"] = ids_stream.reshape(K, CHUNK)
+    res = _subset_plan(flat_ids, np.arange(n, dtype=np.int64), num_rows, K)
+    assert res is not None  # K = plan_chunks(n) always fits n entries
+    plan, slots = res
+    plan["inv_perm"] = slots
+    if compact:
+        plan.pop("sorted_ids", None)
     return plan
 
 
@@ -763,19 +679,20 @@ planned_gather.defvjp(_planned_fwd, _planned_bwd)
 # that DP requires — no collective touches anything table-sized.
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def _tp_planned_gather(table_shard, ids, plan_ij, inv_i):
-    return _tp_value(table_shard, ids, plan_ij, inv_i)
-
-
 def _tp_value(table_shard, ids, plan_ij, inv_i):
+    import os
+
     from ...parallel.mesh import MODEL_AXIS
 
-    shard_rows = table_shard.shape[0]
+    shard_rows, dim = table_shard.shape
     ids_stream = plan_ij["sorted_ids"]  # TP plans always ship the stream
-    # stream slots ~= 2x the real per-shard entries (capacity slack), so
-    # halve the scan-vs-gather density gate used by the single-table path
-    if ids_stream.size * (_SCAN_FWD_DENSITY // 2) >= shard_rows:
+    # same gates as _scan_fwd_ok: the env escape hatch, sub-tile dims stay on
+    # the plain gather, and the density threshold — stream slots are ~2x the
+    # real per-shard entries (capacity slack), so halve the single-table gate
+    scan_on = os.environ.get("REC_PANGU_TPU_PLANNED_FWD", "1") in (
+        "1", "on", "true")
+    if (scan_on and dim >= 8
+            and ids_stream.size * (_SCAN_FWD_DENSITY // 2) >= shard_rows):
         stream = _select_stream(table_shard, plan_ij, ids_stream)
     else:
         # low density: per-slot gather (sentinel slots clip; never read back)
@@ -783,33 +700,7 @@ def _tp_value(table_shard, ids, plan_ij, inv_i):
                           mode="clip").astype(jnp.float32)
     all_stream = jax.lax.all_gather(stream, MODEL_AXIS, axis=0, tiled=True)
     flat = jnp.take(all_stream, inv_i, axis=0)
-    return flat.reshape(ids.shape + (table_shard.shape[1],)).astype(
-        table_shard.dtype)
-
-
-def _tp_fwd(table_shard, ids, plan_ij, inv_i):
-    value = _tp_value(table_shard, ids, plan_ij, inv_i)
-    return value, (plan_ij, table_shard.shape[0])
-
-
-def _tp_bwd(res, g):
-    from ...parallel.mesh import MODEL_AXIS
-
-    plan_ij, shard_rows = res
-    # The region's output is replicated over 'model' (identical after the
-    # all_gather), but with check_vma=False shard_map cannot prove it and
-    # splits the incoming cotangent 1/m across the model axis (measured on
-    # jax 0.9; tests/test_planned_mesh.py::test_planned_gather_tp_matches_take
-    # locks the end-to-end gradient, so a semantics change fails loudly).
-    scale = jnp.float32(jax.lax.psum(1, MODEL_AXIS))
-    rows = g.reshape(-1, g.shape[-1]).astype(jnp.float32) * scale
-    grad = presorted_segment_accumulate(plan_ij, rows, shard_rows,
-                                        plan_ij["sorted_ids"],
-                                        capacity_ok=True)
-    return grad.astype(g.dtype), None, None, None
-
-
-_tp_planned_gather.defvjp(_tp_fwd, _tp_bwd)
+    return flat.reshape(ids.shape + (dim,)).astype(table_shard.dtype)
 
 
 def tp_plan_matches(plan, num_lookups: int, num_rows: int,
@@ -829,20 +720,19 @@ def tp_plan_matches(plan, num_lookups: int, num_rows: int,
             and plan["inv_perm_global"].shape == (n_data, n_l))
 
 
-def planned_gather_tp(table: jnp.ndarray, ids: jnp.ndarray, plan,
-                      mesh) -> jnp.ndarray:
-    """planned_gather for a table row-sharded over 'model' and a batch
-    sharded over 'data'; ``plan`` from ``make_tp_sort_plan``."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tp_gather_outer(mesh, table, ids, plans, inv):
+    return _tp_gather_value(mesh, table, ids, plans, inv)
+
+
+def _tp_gather_value(mesh, table, ids, plans, inv):
     from jax.sharding import PartitionSpec as P
 
     from ...parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    inv = plan["inv_perm_global"]
-    plans = {k: v for k, v in plan.items() if k != "inv_perm_global"}
-
     def _local(table_shard, ids_l, plans_ij, inv_i):
         p = {k: v[0, 0] for k, v in plans_ij.items()}
-        return _tp_planned_gather(table_shard, ids_l, p, inv_i[0])
+        return _tp_value(table_shard, ids_l, p, inv_i[0])
 
     return jax.shard_map(
         _local, mesh=mesh,
@@ -850,6 +740,53 @@ def planned_gather_tp(table: jnp.ndarray, ids: jnp.ndarray, plan,
                   P(DATA_AXIS, MODEL_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS), check_vma=False,
     )(table, ids, plans, inv)
+
+
+def _tp_gather_fwd(mesh, table, ids, plans, inv):
+    from ...parallel.mesh import MODEL_AXIS
+
+    value = _tp_gather_value(mesh, table, ids, plans, inv)
+    return value, (plans, table.shape[0] // mesh.shape[MODEL_AXIS])
+
+
+def _tp_gather_bwd(mesh, res, g):
+    """The backward is its OWN shard_map region with explicit collectives —
+    each table shard runs the chunk kernel on its data shard's cotangent
+    rows, then one psum over 'data' makes the [R, D] shard grads exact and
+    data-replicated, matching the out_spec.  No reliance on shard_map's
+    transpose conventions for partially-mapped inputs."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    plans, shard_rows = res
+
+    def _local(g_i, plans_ij):
+        p = {k: v[0, 0] for k, v in plans_ij.items()}
+        rows = g_i.reshape(-1, g_i.shape[-1]).astype(jnp.float32)
+        grad = presorted_segment_accumulate(p, rows, shard_rows,
+                                            p["sorted_ids"],
+                                            capacity_ok=True)
+        return jax.lax.psum(grad, DATA_AXIS)
+
+    grad = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS, MODEL_AXIS)),
+        out_specs=P(MODEL_AXIS, None), check_vma=False,
+    )(g, plans)
+    return grad.astype(g.dtype), None, None, None
+
+
+_tp_gather_outer.defvjp(_tp_gather_fwd, _tp_gather_bwd)
+
+
+def planned_gather_tp(table: jnp.ndarray, ids: jnp.ndarray, plan,
+                      mesh) -> jnp.ndarray:
+    """planned_gather for a table row-sharded over 'model' and a batch
+    sharded over 'data'; ``plan`` from ``make_tp_sort_plan``."""
+    inv = plan["inv_perm_global"]
+    plans = {k: v for k, v in plan.items() if k != "inv_perm_global"}
+    return _tp_gather_outer(mesh, table, ids, plans, inv)
 
 
 def planned_path_ok(num_rows: int, num_lookups: int, dim: int) -> bool:

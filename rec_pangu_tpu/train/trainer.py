@@ -108,7 +108,9 @@ class _BaseTrainer:
         additionally ships ``emb_plan_global`` for its all_gather+Adam kernel
         pass.  Eval/predict callers pass ``for_train=False``: plans remain a
         forward-only perf hint there (no forcing, no global plan).  Meshes
-        that row-shard the tables keep the plain GSPMD gather path."""
+        that row-shard the tables ('model' axis > 1) get capacity-bounded
+        TP bucket plans (make_tp_sort_plan); overflow falls back to the
+        GSPMD gather for that batch."""
         n_shards = 0  # 0 = single-device plain plan; >=1 = mesh mode
         n_model = 1   # >1 = tensor-parallel row-sharded tables
         if getattr(self, "mesh", None) is not None:
@@ -393,7 +395,12 @@ class RankTrainer(_BaseTrainer):
             batch = self._attach_plan(batch)
             if K > 1:
                 group.append(batch)
-                full = all(g["label"].shape == group[0]["label"].shape for g in group)
+                # stackable = same label shape AND same pytree structure (a
+                # TP-plan capacity overflow can drop 'emb_plan' per batch)
+                s0 = jax.tree_util.tree_structure(group[0])
+                full = all(
+                    g["label"].shape == group[0]["label"].shape
+                    and jax.tree_util.tree_structure(g) == s0 for g in group)
                 if len(group) == K and full:
                     stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
                     stacked = self._put(stacked, stacked=True)

@@ -89,6 +89,34 @@ def test_planned_gather_tp_matches_take():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_planned_gather_tp_low_density_gather_branch():
+    """Large shards vs few lookups route the TP forward through the per-slot
+    gather branch (no scan kernel) — parity must still hold incl. grads."""
+    from rec_pangu_tpu.ops.kernels.embedding_grad import (
+        make_tp_sort_plan, planned_gather_tp)
+
+    V, D, B, F = 2 ** 20, 8, 1024, 8  # slots*12 < shard_rows -> gather branch
+    N_DATA, N_MODEL = 1, 2
+    mesh = make_mesh(N_DATA, N_MODEL)
+    rng = np.random.default_rng(9)
+    table = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    ids = rng.integers(0, V, (B, F)).astype(np.int64)
+    plan = make_tp_sort_plan(ids.reshape(-1), V, N_MODEL, n_data=N_DATA)
+    assert plan is not None
+    plan_j = {k: jnp.asarray(v) for k, v in plan.items()}
+    ids_j = jnp.asarray(ids)
+    out = planned_gather_tp(table, ids_j, plan_j, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table)[ids],
+                               rtol=1e-6, atol=1e-6)
+    w = jnp.asarray(rng.standard_normal((B, F, D)).astype(np.float32))
+    g_tp = jax.jit(jax.grad(
+        lambda t: (planned_gather_tp(t, ids_j, plan_j, mesh) * w).sum()))(table)
+    g_ref = jax.grad(
+        lambda t: (jnp.take(t, ids_j, axis=0) * w).sum())(table)
+    np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_tp_plan_overflow_returns_none():
     """A batch whose ids all land on one table shard overflows the capacity
     -> make_tp_sort_plan returns None and callers keep the GSPMD gather."""
