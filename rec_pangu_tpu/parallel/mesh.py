@@ -37,6 +37,22 @@ def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY.md §2.6): call ONCE per host process
+    before ``make_mesh()`` — afterwards ``jax.devices()`` spans the whole
+    slice/pod and the same mesh/sharding code runs unchanged (DP over
+    ICI+DCN, TP over ICI).  On TPU pods every argument is auto-discovered
+    from the metadata server, so a bare ``initialize_multihost()`` suffices;
+    pass them explicitly for CPU/GPU clusters.  Pair with the loader's
+    ``shard_rank=jax.process_index(), num_shards=jax.process_count()`` for
+    per-host input sharding."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     if devices is None:
