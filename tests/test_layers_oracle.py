@@ -105,3 +105,34 @@ def test_fignn_shapes(emb):
     out = net.apply({"params": params}, emb)
     assert out.shape == (B, F, D)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generalized_interaction_matches_reference_math():
+    """AOANet GIN layer: the contracted einsum formulation equals the
+    reference's explicit outer-product fusion (rec_pangu/models/ranking/
+    aoanet.py:107-115; torch .repeat TILES, so pair index n = s*F + f)."""
+    import jax.numpy as jnp
+    from flax.core import freeze
+
+    from rec_pangu_tpu.models.ranking.aoanet import GeneralizedInteraction
+
+    rng = np.random.default_rng(0)
+    B, F, S_in, S_out, D = 4, 5, 3, 2, 6
+    b0 = rng.standard_normal((B, F, D)).astype(np.float32)
+    bi = rng.standard_normal((B, S_in, D)).astype(np.float32)
+    alpha = rng.standard_normal((S_in * F, S_out)).astype(np.float32)
+    W = rng.standard_normal((S_out, D, D)).astype(np.float32)
+    h = rng.standard_normal((S_out, D, 1)).astype(np.float32)
+
+    left = np.tile(b0, (1, S_in, 1))
+    right = np.tile(bi, (1, 1, F)).reshape(B, -1, D)
+    outer = np.einsum("bnh,bnd->bnhd", left, right)
+    fusion = np.einsum("bnhd,no->bohd", outer, alpha)
+    ref = np.einsum("bohd,odk->boh", W[None] * fusion, h)
+
+    layer = GeneralizedInteraction(S_in, S_out, F, D)
+    out = layer.apply(
+        {"params": {"W": jnp.asarray(W), "alpha": jnp.asarray(alpha),
+                    "h": jnp.asarray(h)}},
+        jnp.asarray(b0), jnp.asarray(bi))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
