@@ -21,12 +21,31 @@ from .contra_losses import contrarec_contra_loss
 
 
 
+def _fast_beta(rng: jax.Array, a: float, b: float, shape) -> jnp.ndarray:
+    """Beta(a, b) sampler without the rejection loop.
+
+    ``jax.random.beta`` lowers to a vmapped gamma rejection WHILE loop —
+    113 ms for 2048 draws on v5e, dominating the whole ContraRec/IOCRec
+    train step.  For integer shape parameters (the models use Beta(3, 3)),
+    Gamma(k) is exactly the sum of k Exp(1) = -log(prod of k uniforms), so
+    Beta(a, b) = Ga / (Ga + Gb) — a handful of fused VPU ops."""
+    ia, ib = int(round(a)), int(round(b))
+    if abs(a - ia) > 1e-6 or abs(b - ib) > 1e-6 or ia < 1 or ib < 1:
+        return jax.random.beta(rng, a, b, shape)
+    u = jax.random.uniform(rng, tuple(shape) + (ia + ib,),
+                           minval=1e-7, maxval=1.0)
+    logs = jnp.log(u)
+    ga = -jnp.sum(logs[..., :ia], axis=-1)
+    gb = -jnp.sum(logs[..., ia:], axis=-1)
+    return ga / (ga + gb)
+
+
 def augment_sequences(rng: jax.Array, item_seq: jnp.ndarray, beta_a: float,
                       beta_b: float, mask_token: int) -> jnp.ndarray:
     """Per-sample: 50% mask-op, 50% reorder-op (contrarec.py:169-176)."""
     B, L = item_seq.shape
     r_choice, r_ratio, r_mask, r_start, r_keys = jax.random.split(rng, 5)
-    ratio = jax.random.beta(r_ratio, beta_a, beta_b, (B, 1))
+    ratio = _fast_beta(r_ratio, beta_a, beta_b, (B, 1))
 
     # mask-op: replace ~ratio*L random positions with the mask token
     mask_positions = jax.random.uniform(r_mask, (B, L)) < ratio

@@ -161,10 +161,20 @@ class IOCRec(SequenceModelBase):
         if train:
             item = batch["target_item"]
             candidates = self.output_items()
-            logits = jnp.einsum("bkd,nd->bkn", user_emb, candidates)
-            max_logits = jnp.max(logits, axis=1)
-            logp = nn.log_softmax(max_logits, axis=-1)
-            rec_loss = -jnp.mean(jnp.take_along_axis(logp, item[:, None], axis=1))
+            from ...ops.softmax_ce import (_FUSED_MIN_VOCAB,
+                                           fused_multimax_softmax_ce)
+
+            if candidates.shape[0] >= _FUSED_MIN_VOCAB:
+                # streamed: the naive form materializes [B, K, V] logits
+                # (16 GB at B=1024, K=4, V=1M -> OOM)
+                rec_loss = fused_multimax_softmax_ce(user_emb, candidates,
+                                                     item)
+            else:
+                logits = jnp.einsum("bkd,nd->bkn", user_emb, candidates)
+                max_logits = jnp.max(logits, axis=1)
+                logp = nn.log_softmax(max_logits, axis=-1)
+                rec_loss = -jnp.mean(
+                    jnp.take_along_axis(logp, item[:, None], axis=1))
 
             rng = self.make_rng("dropout")
             r1, r2 = jax.random.split(rng)

@@ -933,15 +933,25 @@ _MIN_LOOKUPS = 8 * 1024
 
 
 def _kernel_enabled() -> bool:
-    # Isolated, the kernel beats XLA's scatter (14.7ms vs 18.1ms for the
-    # 131k x 32 / 1.6M-row benchmark shape), but inside a full jitted train
-    # step the integration overheads (lane-padding copies, serial argsort,
-    # loss of overlap with the optimizer update) make the end-to-end step
-    # slower (31.8ms vs 25.0ms measured on v5e).  Off by default until the
-    # prep is fused into the kernel; flip on with REC_PANGU_TPU_FAST_SCATTER=1.
+    # Default AUTO: on for single-device TPU, off under a mesh (a bare
+    # Pallas call must not reach a multi-device jit outside shard_map).
+    #
+    # The lookups that reach this path nowadays are the ones WITHOUT a host
+    # plan — ids generated on device (ContraRec/IOCRec augmentations: the
+    # kernel turns their 58 ms XLA scatter into ~10 ms) or the
+    # REC_PANGU_TPU_PLANNED_EMB=0 debug mode (where the device-side argsort
+    # prep makes the full CTR step slower, 31.8 vs 25.0 ms on v5e — force
+    # =0/1 to override the auto default either way).
     import os
 
-    return os.environ.get("REC_PANGU_TPU_FAST_SCATTER", "0") in ("1", "on", "true")
+    mode = os.environ.get("REC_PANGU_TPU_FAST_SCATTER", "auto")
+    if mode in ("1", "on", "true"):
+        return True
+    if mode in ("0", "off", "false"):
+        return False
+    from ...parallel.mesh import active_mesh
+
+    return active_mesh() is None and jax.default_backend() not in ("cpu",)
 
 
 def fused_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:

@@ -236,3 +236,34 @@ def test_planned_gather_compact_plan_tpu():
     scale = float(jnp.max(jnp.abs(g_ref)))
     np.testing.assert_allclose(np.asarray(g_plan), np.asarray(g_ref),
                                atol=5e-5 * scale)
+
+
+def test_fused_multimax_softmax_ce_matches_naive():
+    """IOCRec's streamed K-max CE equals the naive [B, K, V] formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from rec_pangu_tpu.ops.softmax_ce import fused_multimax_softmax_ce
+
+    rng = np.random.default_rng(0)
+    B, K, D, V = 8, 3, 16, 1000  # V not CHUNK_V-aligned: exercises padding
+    u = jnp.asarray(rng.standard_normal((B, K, D)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, V, (B,)))
+
+    def naive(u, items, pos):
+        logits = jnp.einsum("bkd,nd->bkn", u, items)
+        ml = jnp.max(logits, axis=1)
+        logp = jax.nn.log_softmax(ml, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, pos[:, None], axis=1))
+
+    ref = naive(u, items, pos)
+    got = fused_multimax_softmax_ce(u, items, pos)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda a, b: naive(a, b, pos), (0, 1))(u, items)
+    g_got = jax.grad(
+        lambda a, b: fused_multimax_softmax_ce(a, b, pos), (0, 1))(u, items)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
