@@ -9,7 +9,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops.graph import SRGNNCell, build_session_graph
+from ...ops.graph import SRGNNCell, build_session_graph, take_nodes
 from ...ops.sequence_enc import KERNEL_INIT, TransformerEncoder
 from ...ops.numerics import safe_l2norm
 from ..base import SequenceModelBase, register_model
@@ -47,8 +47,7 @@ class SRGNN(SequenceModelBase):
         hidden = self.item_emb(nodes)
         for _ in range(self.step):
             hidden = self.gnncell(m_in, m_out, hidden)
-        D = hidden.shape[-1]
-        return jnp.take_along_axis(hidden, alias[..., None].repeat(D, axis=2), axis=1)
+        return take_nodes(hidden, alias)
 
     def __call__(self, batch, train: bool = True):
         mask = batch["hist_mask_list"]
@@ -113,9 +112,7 @@ class NISER(SRGNN):
         hidden = safe_l2norm(hidden)
         for _ in range(self.step):
             hidden = self.gnncell(m_in, m_out, hidden)
-        D = hidden.shape[-1]
-        seq_hidden = jnp.take_along_axis(hidden, alias[..., None].repeat(D, axis=2),
-                                         axis=1)
+        seq_hidden = take_nodes(hidden, alias)
         seq_hidden = seq_hidden + self.pos_embedding[None, : seq_hidden.shape[1]]
         ht = self.gather_indexes(seq_hidden, jnp.clip(lengths - 1, 0, None))
         seq_output = safe_l2norm(self.readout(seq_hidden, ht, mask))

@@ -51,6 +51,16 @@ def _session_graph_single(ids: jnp.ndarray, mask: jnp.ndarray):
     return nodes, alias, m_in, m_out
 
 
+def take_nodes(hidden: jnp.ndarray, alias: jnp.ndarray) -> jnp.ndarray:
+    """seq_hidden[b, l] = hidden[b, alias[b, l]] as a one-hot batched matmul.
+
+    The ``take_along_axis`` form lowers to a per-element gather (+ scatter in
+    the backward) — ~62 ms/step for SRGNN at B=1024, L=50, D=64 on v5e; the
+    [B, L, S] one-hot einsum is ~164M MACs and transposes to a matmul too."""
+    onehot = jax.nn.one_hot(alias, hidden.shape[1], dtype=hidden.dtype)
+    return jnp.einsum("bls,bsd->bld", onehot, hidden)
+
+
 def build_session_graph(hist_item_list: jnp.ndarray, hist_mask_list: jnp.ndarray
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched: [B, L] ids + mask -> (nodes, alias, M_in, M_out)."""

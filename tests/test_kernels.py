@@ -257,13 +257,18 @@ def test_fused_multimax_softmax_ce_matches_naive():
         logp = jax.nn.log_softmax(ml, axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, pos[:, None], axis=1))
 
-    ref = naive(u, items, pos)
-    got = fused_multimax_softmax_ce(u, items, pos)
-    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5, atol=2e-5)
+    # HIGHEST matmul precision: on TPU both formulations otherwise run
+    # bf16 passes whose rounding differs (and can even flip argmax ties)
+    with jax.default_matmul_precision("highest"):
+        ref = naive(u, items, pos)
+        got = fused_multimax_softmax_ce(u, items, pos)
+        np.testing.assert_allclose(float(got), float(ref),
+                                   rtol=2e-5, atol=2e-5)
 
-    g_ref = jax.grad(lambda a, b: naive(a, b, pos), (0, 1))(u, items)
-    g_got = jax.grad(
-        lambda a, b: fused_multimax_softmax_ce(a, b, pos), (0, 1))(u, items)
+        g_ref = jax.grad(lambda a, b: naive(a, b, pos), (0, 1))(u, items)
+        g_got = jax.grad(
+            lambda a, b: fused_multimax_softmax_ce(a, b, pos), (0, 1))(
+            u, items)
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
