@@ -106,8 +106,12 @@ class ContraRec(SequenceModelBase):
                                      self.mask_token)
             aug2 = augment_sequences(r2, item_seq, self.beta_a, self.beta_b,
                                      self.mask_token)
-            emb1 = self._encode(self.item_emb(aug1), lengths, train)
-            emb2 = self._encode(self.item_emb(aug2), lengths, train)
+            # device-generated ids: no host plan exists; the sorted-segment
+            # kernel backs their gradients (FAST_SCATTER auto)
+            emb1 = self._encode(
+                self.item_emb(aug1, prefer_kernel_grad=True), lengths, train)
+            emb2 = self._encode(
+                self.item_emb(aug2, prefer_kernel_grad=True), lengths, train)
             features = safe_l2norm(jnp.stack([emb1, emb2], axis=1))
             out["loss"] = self.calculate_loss(user_emb, item) + \
                 self.gamma * contrarec_contra_loss(features, item, self.ccc_temp)

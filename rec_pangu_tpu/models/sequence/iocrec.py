@@ -137,14 +137,16 @@ class IOCRec(SequenceModelBase):
 
     def _local_encoding(self, item_seq, train):
         L = item_seq.shape[1]
-        seq_emb = self.item_emb(item_seq) + self.position_embedding[None, :L]
+        seq_emb = self.item_emb(item_seq, prefer_kernel_grad=True) \
+            + self.position_embedding[None, :L]
         seq_emb = self.input_layer_norm(seq_emb)
         seq_emb = self.input_dropout(seq_emb, deterministic=not train)
         return self.local_encoder(seq_emb, self._causal_mask(item_seq), train)
 
     def _intention_emb(self, item_seq, seq_len, train):
         local_emb = self._local_encoding(item_seq, train)
-        global_emb = self.global_seq_encoder(self.item_emb(item_seq), train)
+        global_emb = self.global_seq_encoder(
+            self.item_emb(item_seq, prefer_kernel_grad=True), train)
         return self.disentangle_encoder(local_emb, global_emb, seq_len)  # [B,K,L,D]
 
     def __call__(self, batch, train: bool = True):
@@ -161,10 +163,16 @@ class IOCRec(SequenceModelBase):
         if train:
             item = batch["target_item"]
             candidates = self.output_items()
+            import os
+
             from ...ops.softmax_ce import (_FUSED_MIN_VOCAB,
                                            fused_multimax_softmax_ce)
 
-            if candidates.shape[0] >= _FUSED_MIN_VOCAB:
+            flag = os.environ.get("REC_PANGU_TPU_FUSED_CE", "auto")
+            use_fused = (flag == "1") or (
+                flag not in ("0", "off", "false")
+                and candidates.shape[0] >= _FUSED_MIN_VOCAB)
+            if use_fused:
                 # streamed: the naive form materializes [B, K, V] logits
                 # (16 GB at B=1024, K=4, V=1M -> OOM)
                 rec_loss = fused_multimax_softmax_ce(user_emb, candidates,

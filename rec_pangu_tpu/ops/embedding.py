@@ -271,10 +271,14 @@ class ItemEmbedding(nn.Module):
         return self.table[: self.vocab_size] * (row_ids != 0)
 
     def __call__(self, ids: jnp.ndarray,
-                 plan: Optional[dict] = None) -> jnp.ndarray:
+                 plan: Optional[dict] = None,
+                 prefer_kernel_grad: bool = False) -> jnp.ndarray:
         """Lookup with optional host sort plan (``batch["emb_plan"]``): the
         trainer attaches one for the hist-list lookup so the backward skips
-        XLA's row-serial scatter (the mask's backward composes on top)."""
+        XLA's row-serial scatter (the mask's backward composes on top).
+        ``prefer_kernel_grad`` marks device-generated ids (e.g. contrastive
+        augmentations) that can never carry a plan — in FAST_SCATTER=auto
+        mode their backward uses the sorted-segment kernel."""
         from .kernels.embedding_grad import (_planned_value, fused_gather,
                                              plan_matches, planned_gather,
                                              planned_path_ok)
@@ -317,7 +321,7 @@ class ItemEmbedding(nn.Module):
                 emb = planned_gather_tp(self.table, ids, plan, tp)
                 return emb * (ids != 0)[..., None]
             # plain plan + active mesh: GSPMD-safe gather (see FusedEmbedding)
-        emb = fused_gather(self.table, ids)
+        emb = fused_gather(self.table, ids, prefer_kernel=prefer_kernel_grad)
         return emb * (ids != 0)[..., None]
 
 

@@ -58,6 +58,13 @@ def take_nodes(hidden: jnp.ndarray, alias: jnp.ndarray) -> jnp.ndarray:
     the backward) — ~62 ms/step for SRGNN at B=1024, L=50, D=64 on v5e; the
     [B, L, S] one-hot einsum is ~164M MACs and transposes to a matmul too."""
     onehot = jax.nn.one_hot(alias, hidden.shape[1], dtype=hidden.dtype)
+    # Numerics: on TPU the DEFAULT matmul pass bf16-rounds the gathered
+    # ACTIVATIONS (~4e-3 rel) where take_along_axis was exact.  That is one
+    # extra bf16 rounding on values every downstream Dense/MXU op rounds to
+    # bf16 anyway — unlike the embedding-grad kernels (which ACCUMULATE
+    # cotangents and therefore error-compensate, see _grad_mode), so the
+    # exact 2-pass/HIGHEST variants were measured and rejected: +6.4 ms/step
+    # (27%) at SRGNN's bench shape for noise below the network's own floor.
     return jnp.einsum("bls,bsd->bld", onehot, hidden)
 
 

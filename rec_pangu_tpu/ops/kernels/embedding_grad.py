@@ -932,16 +932,17 @@ _MIN_TABLE_ROWS = 64 * 1024
 _MIN_LOOKUPS = 8 * 1024
 
 
-def _kernel_enabled() -> bool:
-    # Default AUTO: on for single-device TPU, off under a mesh (a bare
-    # Pallas call must not reach a multi-device jit outside shard_map).
+def _kernel_enabled(prefer_kernel: bool) -> bool:
+    # REC_PANGU_TPU_FAST_SCATTER: on / off / auto (default).
     #
-    # The lookups that reach this path nowadays are the ones WITHOUT a host
-    # plan — ids generated on device (ContraRec/IOCRec augmentations: the
-    # kernel turns their 58 ms XLA scatter into ~10 ms) or the
-    # REC_PANGU_TPU_PLANNED_EMB=0 debug mode (where the device-side argsort
-    # prep makes the full CTR step slower, 31.8 vs 25.0 ms on v5e — force
-    # =0/1 to override the auto default either way).
+    # AUTO enables the kernel only where the CALL SITE asks for it
+    # (prefer_kernel=True — lookups whose ids are generated on device and so
+    # can never carry a host plan, e.g. ContraRec/IOCRec augmentations: the
+    # kernel turns their 58 ms XLA scatter into ~10 ms), on single-device
+    # TPU (a bare Pallas call must not reach a multi-device jit outside
+    # shard_map).  Host-fed planless lookups stay on the XLA scatter in auto
+    # mode: the device-side argsort prep makes a full CTR step slower there
+    # (31.8 vs 25.0 ms on v5e).  Force =1 / =0 to override everywhere.
     import os
 
     mode = os.environ.get("REC_PANGU_TPU_FAST_SCATTER", "auto")
@@ -949,15 +950,20 @@ def _kernel_enabled() -> bool:
         return True
     if mode in ("0", "off", "false"):
         return False
+    if not prefer_kernel:
+        return False
     from ...parallel.mesh import active_mesh
 
-    return active_mesh() is None and jax.default_backend() not in ("cpu",)
+    return active_mesh() is None and jax.default_backend() == "tpu"
 
 
-def fused_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+def fused_gather(table: jnp.ndarray, ids: jnp.ndarray,
+                 prefer_kernel: bool = False) -> jnp.ndarray:
     """Embedding gather whose backward uses the Pallas sorted-segment
-    accumulator on TPU for large tables; plain jnp.take otherwise."""
+    accumulator on TPU for large tables; plain jnp.take otherwise.
+    ``prefer_kernel`` marks call sites with device-generated ids (see
+    _kernel_enabled)."""
     if (table.ndim == 2 and table.shape[0] >= _MIN_TABLE_ROWS
-            and ids.size >= _MIN_LOOKUPS and _kernel_enabled()):
+            and ids.size >= _MIN_LOOKUPS and _kernel_enabled(prefer_kernel)):
         return _kernel_gather(table, ids)
     return jnp.take(table, ids, axis=0)

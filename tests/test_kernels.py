@@ -272,3 +272,39 @@ def test_fused_multimax_softmax_ce_matches_naive():
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_multimax_softmax_ce_multi_chunk(monkeypatch):
+    """Multi-chunk coverage: shrink CHUNK_V so the online-logsumexp carry and
+    per-chunk gradient stacking run across many chunks (the production path
+    is V=1M = 123 chunks; the default test fits in one)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rec_pangu_tpu.ops import softmax_ce as sc
+
+    monkeypatch.setattr(sc, "CHUNK_V", 64)
+    rng = np.random.default_rng(3)
+    B, K, D, V = 8, 3, 16, 1000  # -> 16 chunks incl. a padded tail
+    u = jnp.asarray(rng.standard_normal((B, K, D)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, V, (B,)))
+
+    def naive(u, items, pos):
+        logits = jnp.einsum("bkd,nd->bkn", u, items)
+        ml = jnp.max(logits, axis=1)
+        logp = jax.nn.log_softmax(ml, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, pos[:, None], axis=1))
+
+    with jax.default_matmul_precision("highest"):
+        ref = naive(u, items, pos)
+        got = sc.fused_multimax_softmax_ce(u, items, pos)
+        np.testing.assert_allclose(float(got), float(ref),
+                                   rtol=2e-5, atol=2e-5)
+        g_ref = jax.grad(lambda a, b: naive(a, b, pos), (0, 1))(u, items)
+        g_got = jax.grad(
+            lambda a, b: sc.fused_multimax_softmax_ce(a, b, pos), (0, 1))(
+            u, items)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
