@@ -57,14 +57,18 @@ class FusedEmbedding(nn.Module):
 
         fused_ids = sparse_ids + self._offsets[None, :]
         cap = plan.get("capture") if isinstance(plan, dict) else None
-        if cap is not None and f"d{self.embedding_dim}" in cap:
+        # capture leaves are keyed by this module's param path, so models
+        # with several tables of the same dim (e.g. AFN's ensemble second
+        # embedding) each get their own cotangent stream
+        cap_key = "/".join(self.path)
+        if cap is not None and cap_key in cap:
             # fused-update mode (train/fused_update.py): the table's update is
             # applied by the planned-Adam kernel from the cotangent of this
             # zero 'capture' leaf, so the table itself is held out of autodiff
             base_plan = {k: v for k, v in plan.items() if k != "capture"}
             val = _captured_planned_value(jax.lax.stop_gradient(self.table),
                                           fused_ids, base_plan)
-            return val + cap[f"d{self.embedding_dim}"].reshape(val.shape)
+            return val + cap[cap_key].reshape(val.shape)
         if (plan is not None
                 and planned_path_ok(self.spec.total_rows, fused_ids.size,
                                     self.embedding_dim)):

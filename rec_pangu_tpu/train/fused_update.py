@@ -38,21 +38,20 @@ from .steps import TrainState
 ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8  # torch defaults (trainer.py:75)
 
 
-def find_fused_tables(params, total_rows: int) -> Optional[Dict[int, Tuple[str, ...]]]:
+def find_fused_tables(params, total_rows: int) -> Optional[Dict[Tuple[str, ...], int]]:
     """Locate FusedEmbedding tables in a param tree: leaves named 'table' with
-    ``padded_rows(total_rows)`` rows.  Returns {embedding_dim: path} or None
-    when ambiguous (two tables of the same dim — e.g. AFN's ensemble second
-    table — would share one capture leaf and receive summed cotangents)."""
+    ``padded_rows(total_rows)`` rows.  Returns {param_path: embedding_dim} —
+    capture leaves are keyed by the owning MODULE's path, so several tables
+    of the same dim (e.g. AFN's ensemble second embedding) each get their
+    own cotangent stream."""
     rows = padded_rows(total_rows)
     flat = traverse_util.flatten_dict(params)
-    by_dim: Dict[int, Tuple[str, ...]] = {}
+    by_path: Dict[Tuple[str, ...], int] = {}
     for path, leaf in flat.items():
         if path[-1] == "table" and getattr(leaf, "ndim", 0) == 2 \
                 and leaf.shape[0] == rows:
-            if leaf.shape[1] in by_dim:
-                return None
-            by_dim[leaf.shape[1]] = path
-    return by_dim or None
+            by_path[path] = leaf.shape[1]
+    return by_path or None
 
 
 def fused_update_applicable(model, params, sample_batch,
@@ -80,7 +79,7 @@ def fused_update_applicable(model, params, sample_batch,
 
     n = int(np.prod(sparse.shape))
     rows = padded_rows(spec.total_rows)
-    for dim, _ in tables.items():
+    for _, dim in tables.items():
         if not planned_path_ok(spec.total_rows, n, dim):
             return None
         if not fused_adam_fits(rows, dim):
@@ -97,7 +96,7 @@ def init_fused_opt_state(params, tables: Dict[int, Tuple[str, ...]], lr: float,
     except the tables + zero Adam moments per table."""
     schedule = make_lr_schedule(lr, steps_per_epoch, lr_scheduler_type,
                                 scheduler_params)
-    table_paths = set(tables.values())
+    table_paths = set(tables.keys())
 
     def mask(tree):
         flat = traverse_util.flatten_dict(tree)
@@ -164,7 +163,7 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
     schedule = make_lr_schedule(lr, steps_per_epoch, lr_scheduler_type,
                                 scheduler_params)
     offsets = np.asarray(model.spec.offsets, dtype=np.int64)
-    dims = tuple(sorted(tables))
+    paths = tuple(sorted(tables))  # param paths; capture key drops 'table'
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -187,7 +186,8 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
             out = state.apply_fn(variables, b, True, rngs=rngs)
             return out["loss"], (out, None)
 
-        cap = {f"d{d}": jnp.zeros((n, d), jnp.float32) for d in dims}
+        cap = {"/".join(p[:-1]): jnp.zeros((n, tables[p]), jnp.float32)
+               for p in paths}
         (grads, cap_grads), (out, new_bs) = jax.grad(
             loss_fn, (0, 1), has_aux=True)(state.params, cap)
 
@@ -201,21 +201,21 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
         new_emb_state = dict(emb_state)
         fused_ids = (jnp.asarray(sparse, jnp.int32)
                      + jnp.asarray(offsets, jnp.int32)[None, :]).reshape(-1)
-        for d in dims:
-            path = tables[d]
+        for path in paths:
             key = "/".join(path)
+            cap_key = "/".join(path[:-1])
             table = flat[path]
             ids_stream = stream_ids(gplan, fused_ids, table.shape[0])
             if mesh is not None:
                 from ..ops.kernels.fused_adam import planned_adam_update_mesh
 
                 new_t, new_mu, new_nu = planned_adam_update_mesh(
-                    gplan, ids_stream, cap_grads[f"d{d}"], table,
+                    gplan, ids_stream, cap_grads[cap_key], table,
                     emb_state[key]["mu"], emb_state[key]["nu"], hyper,
                     mesh, rows_sharded=rows_sharded)
             else:
                 new_t, new_mu, new_nu = planned_adam_update(
-                    gplan, ids_stream, cap_grads[f"d{d}"], table,
+                    gplan, ids_stream, cap_grads[cap_key], table,
                     emb_state[key]["mu"], emb_state[key]["nu"], hyper)
             flat[path] = new_t
             new_emb_state[key] = {"mu": new_mu, "nu": new_nu}
@@ -387,7 +387,7 @@ def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
     if not info:
         return state, None, None
     tx, opt_state = init_fused_opt_state(
-        state.params, {info["dim"]: info["path"]}, lr, steps_per_epoch,
+        state.params, {info["path"]: info["dim"]}, lr, steps_per_epoch,
         lr_scheduler_type, scheduler_params)
     state = state.replace(tx=tx, opt_state=opt_state)
     step = jax.jit(_seq_fused_step_fn(model, info, lr, steps_per_epoch,

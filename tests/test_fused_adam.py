@@ -68,9 +68,12 @@ def test_kernel_matches_dense_optax_adam():
 
 
 @tpu_only
-def test_fused_step_matches_standard_step():
+@pytest.mark.parametrize("name", ["DeepFM", "WDL", "AFN"])
+def test_fused_step_matches_standard_step(name):
+    # WDL: two tables of different dims; AFN: TWO SAME-DIM tables (ensemble
+    # second embedding) — capture leaves are keyed by module path
     enc, data = _ranking_fixture()
-    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=32)
+    model = get_model(name)(enc_dict=enc, embedding_dim=32)
     batch = dict(data)
     attach_emb_plan(batch, model.spec, 32)
     assert "emb_plan" in batch, "fixture must qualify for the planned path"
