@@ -10,6 +10,9 @@ from rec_pangu_tpu.data import DataLoader, RankingDataset
 from rec_pangu_tpu.models import get_model
 from rec_pangu_tpu.train import RankTrainer
 from rec_pangu_tpu.train.ckpt import load_checkpoint
+import os
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 if __name__ == "__main__":
     schema = {
@@ -27,7 +30,7 @@ if __name__ == "__main__":
     enc_dict = ckpt["enc_dict"]
 
     df = pd.read_csv(
-        "/root/reference/examples/ranking/sample_data/ranking_sample_data.csv"
+        os.path.join(_HERE, "sample_data", "ranking_sample_data.csv")
     ).drop(columns=["click", "scroll"])[:20]
 
     model = get_model("DeepFM")(enc_dict=enc_dict)

@@ -9,10 +9,13 @@ import pandas as pd
 from rec_pangu_tpu.data import get_dataloader
 from rec_pangu_tpu.models import get_model
 from rec_pangu_tpu.train import RankTrainer
+import os
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 if __name__ == "__main__":
     df = pd.read_csv(
-        "/root/reference/examples/ranking/sample_data/ranking_sample_data.csv"
+        os.path.join(_HERE, "sample_data", "ranking_sample_data.csv")
     )
     schema = {
         "sparse_cols": ["user_id", "item_id", "item_type", "dayofweek", "is_workday",

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from rec_pangu_tpu.models import SequenceModelBase, register_model
 from rec_pangu_tpu.ops.mlp import MLP
+import os
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 @register_model("CustomModel")
@@ -39,7 +42,7 @@ if __name__ == "__main__":
     schema = {"user_col": "user_id", "item_col": "item_id", "cate_cols": ["genre"],
               "max_length": 20, "time_col": "timestamp", "task_type": "sequence"}
     config = {"embedding_dim": 64, "K": 4, "device": -1, **schema}
-    data_dir = "/root/reference/examples/sequence_recall/sample_data"
+    data_dir = os.path.join(_HERE, "sample_data")
     loaders = get_dataloader(pd.read_csv(f"{data_dir}/sample_train.csv"),
                              pd.read_csv(f"{data_dir}/sample_valid.csv"),
                              pd.read_csv(f"{data_dir}/sample_test.csv"),

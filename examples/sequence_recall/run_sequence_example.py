@@ -11,6 +11,8 @@ from rec_pangu_tpu.data import get_dataloader
 from rec_pangu_tpu.models import get_model
 from rec_pangu_tpu.train import SequenceTrainer
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
 if __name__ == "__main__":
     schema = {
         "user_col": "user_id",
@@ -23,7 +25,7 @@ if __name__ == "__main__":
     config = {"embedding_dim": 64, "lr": 0.001, "K": 4, "device": -1}
     config.update(schema)
 
-    data_dir = "/root/reference/examples/sequence_recall/sample_data"
+    data_dir = os.path.join(_HERE, "sample_data")
     train_df = pd.read_csv(f"{data_dir}/sample_train.csv")
     valid_df = pd.read_csv(f"{data_dir}/sample_valid.csv")
     test_df = pd.read_csv(f"{data_dir}/sample_test.csv")

@@ -1,6 +1,7 @@
 """Measure the BASELINE.md table: quality metrics for the headline configs on
 the bundled datasets, plus train throughput.  Writes baseline_results.json."""
 import json
+import os
 import time
 
 import pandas as pd
@@ -25,7 +26,8 @@ RANKING_SCHEMA = {
 results = {}
 
 # ---- ranking zoo -----------------------------------------------------------
-df = pd.read_csv("/root/reference/examples/ranking/sample_data/ranking_sample_data.csv")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+df = pd.read_csv(os.path.join(_REPO, "examples/ranking/sample_data/ranking_sample_data.csv"))
 loaders = get_dataloader(df[:80], df[:90], df[:95], RANKING_SCHEMA, batch_size=512)
 train_loader, valid_loader, test_loader, enc_dict = loaders
 for name in ["DeepFM", "DCN", "xDeepFM", "AutoInt", "FiBiNet", "MaskNet"]:
@@ -43,7 +45,7 @@ for name in ["DeepFM", "DCN", "xDeepFM", "AutoInt", "FiBiNet", "MaskNet"]:
 mt_schema = {**RANKING_SCHEMA, "label_col": ["click", "scroll"],
              "task_type": "multitask"}
 mdf = pd.read_csv(
-    "/root/reference/examples/multi_task/sample_data/multi_task_sample_data.csv")
+    os.path.join(_REPO, "examples/multi_task/sample_data/multi_task_sample_data.csv"))
 loaders = get_dataloader(mdf[:80], mdf[:90], mdf[:95], mt_schema, batch_size=512)
 train_loader, valid_loader, test_loader, enc_dict = loaders
 for name in ["MMOE", "ESSM"]:
@@ -60,7 +62,7 @@ for name in ["MMOE", "ESSM"]:
 seq_schema = {"user_col": "user_id", "item_col": "item_id", "cate_cols": ["genre"],
               "max_length": 20, "time_col": "timestamp", "task_type": "sequence"}
 config = {"embedding_dim": 64, "K": 4, "device": -1, **seq_schema}
-d = "/root/reference/examples/sequence_recall/sample_data"
+d = os.path.join(_REPO, "examples/sequence_recall/sample_data")
 loaders = get_dataloader(pd.read_csv(f"{d}/sample_train.csv"),
                          pd.read_csv(f"{d}/sample_valid.csv"),
                          pd.read_csv(f"{d}/sample_test.csv"),

@@ -24,9 +24,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
-REF_RANKING_CSV = "/root/reference/examples/ranking/sample_data/ranking_sample_data.csv"
-REF_MULTITASK_CSV = "/root/reference/examples/multi_task/sample_data/multi_task_sample_data.csv"
-REF_SEQ_DIR = "/root/reference/examples/sequence_recall/sample_data"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_RANKING_CSV = os.path.join(_REPO, "examples/ranking/sample_data/ranking_sample_data.csv")
+REF_MULTITASK_CSV = os.path.join(_REPO, "examples/multi_task/sample_data/multi_task_sample_data.csv")
+REF_SEQ_DIR = os.path.join(_REPO, "examples/sequence_recall/sample_data")
 
 RANKING_SCHEMA = {
     "sparse_cols": ["user_id", "item_id", "item_type", "dayofweek", "is_workday", "city",
