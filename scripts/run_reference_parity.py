@@ -1,0 +1,145 @@
+"""Run the reference (`/root/reference/rec_pangu`, torch-CPU) head-to-head on the
+same bundled datasets / seeds / epoch budgets as `scripts/fill_baseline.py`, and
+write `reference_results.json` for the BASELINE.md parity columns (VERDICT.md
+round-1 item 1: "measure quality parity against the reference, in-image").
+
+The reference's missing deps (loguru/wandb/faiss/dgl) are satisfied by the
+minimal stand-ins in `scripts/ref_compat/` — see each shim's docstring for the
+exact surface it provides.  Two in-process compatibility patches are applied
+and documented below (pandas>=2 removed DataFrame.append; the reference's
+MultiTaskDataset is broken as shipped).
+"""
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, os.path.join(_HERE, "ref_compat"))
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import pandas as pd
+import torch
+
+# pandas 3.x removed DataFrame.append; the reference logs metrics with it
+# (rec_pangu/trainer.py:324,361, benchmark_trainer.py:94).  Equivalent concat:
+if not hasattr(pd.DataFrame, "append"):
+    def _df_append(self, other, ignore_index=False):
+        other_df = pd.DataFrame([other]) if isinstance(other, dict) else other
+        return pd.concat([self, other_df], ignore_index=ignore_index)
+    pd.DataFrame.append = _df_append
+
+import rec_pangu.model_pipeline as _mp
+from sklearn.metrics import log_loss as _sk_log_loss
+
+# sklearn>=1.5 removed log_loss's eps kwarg; the reference passes eps=1e-7
+# (rec_pangu/model_pipeline.py:83,121).  Same semantics: clip preds first.
+def _log_loss_eps(y_true, y_pred, eps=1e-7, **kw):
+    y_pred = np.clip(np.asarray(y_pred, dtype=np.float64), eps, 1.0 - eps)
+    return _sk_log_loss(y_true, y_pred, **kw)
+
+_mp.log_loss = _log_loss_eps
+
+from rec_pangu.dataset import get_dataloader
+from rec_pangu.dataset.multi_task_dataset import MultiTaskDataset
+from rec_pangu.trainer import RankTrainer, SequenceTrainer
+from rec_pangu.models.ranking import DeepFM, DCN, xDeepFM, AutoInt, FiBiNet, MaskNet
+from rec_pangu.models.multi_task import MMOE, ESSM
+from rec_pangu.models.sequence import YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND
+from rec_pangu.models.utils import seed_everything
+
+# The reference's MultiTaskDataset is broken as shipped: __init__ ends with
+# `self.data()` (multi_task_dataset.py:53) but no such method exists (the
+# inherited encoder is `enc_data()`, which fills `data_dict`), and __getitem__
+# reads `self.data[col][index]` (:66-69).  Minimal fix matching the obvious
+# intent: run enc_data() and alias `data` to the encoded dict.
+_orig_mtl_init = MultiTaskDataset.__init__
+
+def _fixed_mtl_init(self, config, df, enc_dict=None):
+    try:
+        _orig_mtl_init(self, config, df, enc_dict)
+    except AttributeError:
+        self.enc_data()
+        self.data = self.data_dict
+
+MultiTaskDataset.__init__ = _fixed_mtl_init
+
+RANKING_SCHEMA = {
+    "sparse_cols": ["user_id", "item_id", "item_type", "dayofweek", "is_workday",
+                    "city", "county", "town", "village", "lbs_city", "lbs_district",
+                    "hardware_platform", "hardware_ischarging", "os_type",
+                    "network_type", "position"],
+    "dense_cols": ["item_expo_1d", "item_expo_7d", "item_expo_14d", "item_expo_30d",
+                   "item_clk_1d", "item_clk_7d", "item_clk_14d", "item_clk_30d",
+                   "use_duration"],
+    "label_col": "click",
+    "task_type": "ranking",
+}
+
+results = {}
+
+# ---- ranking zoo (identical slices/budgets to scripts/fill_baseline.py) ----
+df = pd.read_csv(os.path.join(_REPO, "examples/ranking/sample_data/ranking_sample_data.csv"))
+train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+    df[:80], df[:90], df[:95], RANKING_SCHEMA, batch_size=512)
+for cls in [DeepFM, DCN, xDeepFM, AutoInt, FiBiNet, MaskNet]:
+    name = cls.__name__
+    seed_everything(1029)
+    model = cls(enc_dict=enc_dict)
+    tr = RankTrainer(num_task=1, model_ckpt_dir=f"/tmp/ref_ckpt/{name}")
+    t0 = time.time()
+    tr.fit(model, train_loader, valid_loader, epoch=15, lr=1e-3,
+           use_earlystopping=True, max_patience=3, monitor_metric="roc_auc_score")
+    results[name] = {"test": tr.evaluate_model(model, test_loader),
+                     "train_s": round(time.time() - t0, 1)}
+    print(name, results[name], flush=True)
+
+# ---- multi-task -------------------------------------------------------------
+mt_schema = {**RANKING_SCHEMA, "label_col": ["click", "scroll"],
+             "task_type": "multitask"}
+mdf = pd.read_csv(
+    os.path.join(_REPO, "examples/multi_task/sample_data/multi_task_sample_data.csv"))
+train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+    mdf[:80], mdf[:90], mdf[:95], mt_schema, batch_size=512)
+for cls in [MMOE, ESSM]:
+    name = cls.__name__
+    seed_everything(1029)
+    model = cls(enc_dict=enc_dict)
+    tr = RankTrainer(num_task=2, model_ckpt_dir=f"/tmp/ref_ckpt/{name}")
+    t0 = time.time()
+    tr.fit(model, train_loader, valid_loader, epoch=10, lr=1e-3)
+    results[name] = {"test": tr.evaluate_model(model, test_loader),
+                     "train_s": round(time.time() - t0, 1)}
+    print(name, results[name], flush=True)
+
+# ---- sequence recall ---------------------------------------------------------
+seq_schema = {"user_col": "user_id", "item_col": "item_id", "cate_cols": ["genre"],
+              "max_length": 20, "time_col": "timestamp", "task_type": "sequence"}
+config = {"embedding_dim": 64, "K": 4, "device": -1, **seq_schema}
+d = os.path.join(_REPO, "examples/sequence_recall/sample_data")
+train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+    pd.read_csv(f"{d}/sample_train.csv"),
+    pd.read_csv(f"{d}/sample_valid.csv"),
+    pd.read_csv(f"{d}/sample_test.csv"),
+    seq_schema, batch_size=256)
+for cls in [YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND]:
+    name = cls.__name__
+    # the reference's SequenceTrainer writes log.csv without creating the
+    # directory first (rec_pangu/trainer.py:327) — pre-create it
+    os.makedirs(f"/tmp/ref_ckpt/{name}", exist_ok=True)
+    seed_everything(1029)
+    model = cls(enc_dict=enc_dict, config=config)
+    tr = SequenceTrainer(model_ckpt_dir=f"/tmp/ref_ckpt/{name}")
+    t0 = time.time()
+    tr.fit(model, train_loader, None, epoch=2, lr=1e-3, log_rounds=100)
+    metric = tr.evaluate_model(model, test_loader)
+    metric = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+              for k, v in metric.items()}
+    results[name] = {"test": metric, "train_s": round(time.time() - t0, 1)}
+    print(name, results[name], flush=True)
+
+with open(os.path.join(_REPO, "reference_results.json"), "w") as f:
+    json.dump(results, f, indent=2, default=str)
+print("DONE")
