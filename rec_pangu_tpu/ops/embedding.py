@@ -76,14 +76,17 @@ class FusedEmbedding(nn.Module):
 
             if (active_mesh() is None
                     and plan_matches(plan, fused_ids.size,
-                                     self.table.shape[0])):
+                                     self.table.shape[0],
+                                     self.embedding_dim)):
                 return planned_gather(self.table, fused_ids, plan)
-            dp = _dp_plan_setup(plan, fused_ids.size, self.table.shape[0])
+            dp = _dp_plan_setup(plan, fused_ids.size, self.table.shape[0],
+                                self.embedding_dim)
             if dp is not None:
                 from .kernels.embedding_grad import planned_gather_dp
 
                 return planned_gather_dp(self.table, fused_ids, plan, dp)
-            tp = _tp_plan_setup(plan, fused_ids.size, self.table.shape[0])
+            tp = _tp_plan_setup(plan, fused_ids.size, self.table.shape[0],
+                                self.embedding_dim)
             if tp is not None:
                 from .kernels.embedding_grad import planned_gather_tp
 
@@ -126,7 +129,8 @@ def _captured_planned_value(table, ids, base_plan):
     return _planned_value(table, ids, base_plan)
 
 
-def _dp_plan_setup(plan, num_lookups: int, table_rows: int):
+def _dp_plan_setup(plan, num_lookups: int, table_rows: int,
+                   dim: int = 32):
     """Trace-time gate for the data-parallel planned path: a stacked
     per-shard plan (leading axis = data-shard count), an active mesh whose
     'model' axis is trivial (the table is replicated), and matching shapes.
@@ -141,12 +145,13 @@ def _dp_plan_setup(plan, num_lookups: int, table_rows: int):
     if mesh is None or mesh.shape[MODEL_AXIS] != 1:
         return None
     if not sharded_plan_matches(plan, num_lookups, table_rows,
-                                mesh.shape[DATA_AXIS]):
+                                mesh.shape[DATA_AXIS], dim):
         return None
     return mesh
 
 
-def _tp_plan_setup(plan, num_lookups: int, table_rows: int):
+def _tp_plan_setup(plan, num_lookups: int, table_rows: int,
+                   dim: int = 32):
     """Trace-time gate for the tensor-parallel planned path: a TP plan
     ([n_data, n_model, ...] leaves), an active mesh with a non-trivial
     'model' axis over which the table row-shards evenly, matching shapes."""
@@ -162,7 +167,8 @@ def _tp_plan_setup(plan, num_lookups: int, table_rows: int):
     if table_rows % mesh.shape[MODEL_AXIS]:
         return None
     if not tp_plan_matches(plan, num_lookups, table_rows,
-                           mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]):
+                           mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS],
+                           dim):
         return None
     return mesh
 
@@ -237,7 +243,7 @@ def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
     rows = padded_rows(total_rows)
     if n_model > 1:  # tensor-parallel: per-(data, model)-shard subset plans
         plan = make_tp_sort_plan(flat, rows, n_model,
-                                 n_data=max(n_shards, 1))
+                                 n_data=max(n_shards, 1), dim=dim)
         if plan is not None:
             batch["emb_plan"] = plan
         else:
@@ -245,12 +251,14 @@ def _attach_plans(batch, flat_ids_fn, total_rows, n, dim, force, n_shards,
         return
     if n_shards:  # mesh mode: stacked per-shard plan (leading [n] axis)
         batch["emb_plan"] = make_sharded_sort_plan(flat, rows, n_shards,
-                                                   compact=compact)
+                                                   compact=compact, dim=dim)
         if with_global:
             batch["emb_plan_global"] = make_sort_plan(flat, rows,
-                                                      compact=compact)
+                                                      compact=compact,
+                                                      dim=dim)
     else:
-        batch["emb_plan"] = make_sort_plan(flat, rows, compact=compact)
+        batch["emb_plan"] = make_sort_plan(flat, rows, compact=compact,
+                                           dim=dim)
 
 
 class ItemEmbedding(nn.Module):
@@ -309,16 +317,19 @@ class ItemEmbedding(nn.Module):
             from ..parallel.mesh import active_mesh
 
             if (active_mesh() is None
-                    and plan_matches(plan, ids.size, self.table.shape[0])):
+                    and plan_matches(plan, ids.size, self.table.shape[0],
+                                     self.embedding_dim)):
                 emb = planned_gather(self.table, ids, plan)
                 return emb * (ids != 0)[..., None]
-            dp = _dp_plan_setup(plan, ids.size, self.table.shape[0])
+            dp = _dp_plan_setup(plan, ids.size, self.table.shape[0],
+                                self.embedding_dim)
             if dp is not None:
                 from .kernels.embedding_grad import planned_gather_dp
 
                 emb = planned_gather_dp(self.table, ids, plan, dp)
                 return emb * (ids != 0)[..., None]
-            tp = _tp_plan_setup(plan, ids.size, self.table.shape[0])
+            tp = _tp_plan_setup(plan, ids.size, self.table.shape[0],
+                                self.embedding_dim)
             if tp is not None:
                 from .kernels.embedding_grad import planned_gather_tp
 

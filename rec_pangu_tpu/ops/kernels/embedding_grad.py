@@ -136,14 +136,50 @@ def _accumulate_kernel(starts_ref, ids_ref, rows_ref, out_ref, *, dim,
     )
 
 
-def _tile_rows(num_rows: int) -> int:
-    """Largest tile that divides the table exactly — when one exists, the
-    kernel writes the gradient at its final shape with no [:num_rows] slice.
-    ``padded_rows`` (used by FusedEmbedding for big tables) guarantees this."""
-    for t in (2048, 1024, 512, 256, 128):
-        if num_rows % t == 0:
-            return t
-    return TILE_ROWS
+_TILE_VMEM_BUDGET = 10 * 1024 * 1024  # sizes the fused kernel's 14 blocks
+
+
+def _tile_rows(num_rows: int, dim: int = 32) -> int:
+    """Largest vocab tile that (a) divides the table exactly — so the kernel
+    writes the gradient at its final shape with no [:num_rows] slice
+    (``padded_rows`` guarantees a divisor exists for big tables) — and
+    (b) keeps the fused-Adam kernel's worst case (14 double-buffered
+    [dim, tile] f32 blocks) inside the VMEM budget.
+
+    Bigger tiles cut the plan's per-tile chunk padding (each tile's entries
+    round up to 128-slot chunks: at the bench shape tile 2048 wastes 44% of
+    the stream slots, tile 4096 only 15%) — every chunk-proportional cost
+    (both permutes, the ids stream, the chunk loops) shrinks with it.
+    Measured DeepFM bench step: 6.6 ms @ 2048 -> 5.4 ms @ 4096.  The cap is
+    dim-aware so D=64 sequence tables stay at 2048 and D=128 at 1024 (where
+    the previous fixed 2048 blew the budget and silently disabled fusion).
+    """
+    cap = _TILE_VMEM_BUDGET // (14 * max(dim, 1) * 4)
+    t = 4096
+    while t > 128 and (t > cap or num_rows % t):
+        t //= 2
+    return t
+
+
+def _plan_tile(plan, num_rows: int, dim: int) -> int:
+    """Tile size a plan was BUILT with, derived from its ``tile_starts``
+    length — the plan is self-describing, so consumers can never disagree
+    with the host builder (tables of different dims share one plan: e.g.
+    WDL's [V, 1] wide table rides the D=32 plan).  Falls back to the
+    dim-sized default for plans without tile_starts."""
+    ts = plan.get("tile_starts") if isinstance(plan, dict) else None
+    if ts is not None:
+        t_tiles = ts.shape[-1] - 1
+        if t_tiles > 0 and num_rows % t_tiles == 0:
+            return num_rows // t_tiles
+    return _tile_rows(num_rows, dim)
+
+
+def plan_chunks_for_tile(num_lookups: int, num_rows: int, tile: int) -> int:
+    """plan_chunks for an explicit tile size (see ``_plan_tile``)."""
+    t_tiles = (-(-num_rows // tile) * tile) // tile
+    k = t_tiles + num_lookups // CHUNK + 1
+    return -(-k // 8) * 8  # ids are fetched in (8, 128) blocks
 
 
 def padded_rows(total_rows: int) -> int:
@@ -160,7 +196,7 @@ def padded_rows(total_rows: int) -> int:
 def _call_accumulate(starts, sorted_ids_p, sorted_rows_p, num_rows: int,
                      dim: int, mode: str = "highest") -> jnp.ndarray:
     """Launch the tile-accumulate grid over presorted, padded inputs."""
-    tile = _tile_rows(num_rows)
+    tile = _tile_rows(num_rows, dim)
     v_pad = ((num_rows + tile - 1) // tile) * tile
     t_tiles = v_pad // tile
     if starts.shape[0] != t_tiles + 1:
@@ -195,7 +231,7 @@ def sorted_segment_accumulate(flat_ids: jnp.ndarray, rows: jnp.ndarray,
                               num_rows: int) -> jnp.ndarray:
     """Dense [num_rows, D] gradient from (ids [N], cotangent rows [N, D])."""
     n, dim = rows.shape
-    tile = _tile_rows(num_rows)
+    tile = _tile_rows(num_rows, dim)
     v_pad = ((num_rows + tile - 1) // tile) * tile
     t_tiles = v_pad // tile
 
@@ -229,16 +265,15 @@ def sorted_segment_accumulate(flat_ids: jnp.ndarray, rows: jnp.ndarray,
 # numerics (max rel grad err 6e-8).
 # ---------------------------------------------------------------------------
 
-def plan_chunks(num_lookups: int, num_rows: int) -> int:
+def plan_chunks(num_lookups: int, num_rows: int, dim: int = 32) -> int:
     """Static chunk count of a sort plan: one per vocab tile (so every output
     tile is zero-initialized) plus the entries' own chunks plus one spare."""
-    tile = _tile_rows(num_rows)
-    t_tiles = (-(-num_rows // tile) * tile) // tile
-    k = t_tiles + num_lookups // CHUNK + 1
-    return -(-k // 8) * 8  # ids are fetched in (8, 128) blocks
+    return plan_chunks_for_tile(num_lookups, num_rows,
+                                _tile_rows(num_rows, dim))
 
 
-def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
+def make_sort_plan(flat_ids, num_rows: int, compact: bool = False,
+                   dim: int = 32):
     """Host-side (numpy) sort plan for a batch of fused embedding ids.
 
     Entries are argsorted and laid out as a stream of 128-entry CHUNKS, padded
@@ -269,8 +304,9 @@ def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
         raise ValueError(
             f"id out of range for a {num_rows}-row table — build the plan "
             f"with padded_rows(total_rows)")
-    K = plan_chunks(n, num_rows)
-    res = _subset_plan(flat_ids, np.arange(n, dtype=np.int64), num_rows, K)
+    K = plan_chunks(n, num_rows, dim)
+    res = _subset_plan(flat_ids, np.arange(n, dtype=np.int64), num_rows, K,
+                       dim=dim)
     assert res is not None  # K = plan_chunks(n) always fits n entries
     plan, slots = res
     plan["inv_perm"] = slots
@@ -279,7 +315,8 @@ def make_sort_plan(flat_ids, num_rows: int, compact: bool = False):
     return plan
 
 
-def _subset_plan(rel_ids, positions, num_rows: int, k_chunks: int):
+def _subset_plan(rel_ids, positions, num_rows: int, k_chunks: int,
+                 dim: int = 32):
     """Sort plan over a SUBSET of ids (already relative to a table shard)
     with a FIXED chunk capacity ``k_chunks``.  ``positions[i]`` is the index
     of subset entry i in the original flat id array — perm values are
@@ -293,7 +330,7 @@ def _subset_plan(rel_ids, positions, num_rows: int, k_chunks: int):
     rel = np.ascontiguousarray(rel_ids, dtype=np.int64).reshape(-1)
     positions = np.asarray(positions, dtype=np.int64).reshape(-1)
     n = rel.shape[0]
-    tile = _tile_rows(num_rows)
+    tile = _tile_rows(num_rows, dim)
     v_pad = -(-num_rows // tile) * tile
     t_tiles = v_pad // tile
 
@@ -362,7 +399,7 @@ def _subset_plan(rel_ids, positions, num_rows: int, k_chunks: int):
 
 
 def tp_capacity_chunks(num_lookups_local: int, shard_rows: int,
-                       n_model: int) -> int:
+                       n_model: int, dim: int = 32) -> int:
     """Static per-shard chunk capacity for TP plans: room for
     ``capacity_slack`` times the balanced share of one data shard's lookups
     (REC_PANGU_TPU_TP_SLACK, default 2.0 — item popularity is skewed, so the
@@ -373,11 +410,11 @@ def tp_capacity_chunks(num_lookups_local: int, shard_rows: int,
     slack = float(os.environ.get("REC_PANGU_TPU_TP_SLACK", "2.0"))
     cap_n = min(num_lookups_local,
                 int(math.ceil(num_lookups_local / n_model * slack)))
-    return plan_chunks(cap_n, shard_rows)
+    return plan_chunks(cap_n, shard_rows, dim)
 
 
 def make_tp_sort_plan(flat_ids, num_rows: int, n_model: int,
-                      n_data: int = 1):
+                      n_data: int = 1, dim: int = 32):
     """Host plans for the tensor-parallel (row-sharded table) lookup.
 
     For each (data shard i, model shard j): a capacity-bounded subset plan
@@ -402,7 +439,7 @@ def make_tp_sort_plan(flat_ids, num_rows: int, n_model: int,
         raise ValueError(
             f"id out of range for a {num_rows}-row table — build the plan "
             f"with padded_rows(total_rows)")
-    k_c = tp_capacity_chunks(n_l, shard_rows, n_model)
+    k_c = tp_capacity_chunks(n_l, shard_rows, n_model, dim)
     cap_slots = k_c * CHUNK
     per_ij = []
     inv_global = np.zeros((n_data, n_l), np.int32)
@@ -413,7 +450,7 @@ def make_tp_sort_plan(flat_ids, num_rows: int, n_model: int,
         for j in range(n_model):
             idx = np.nonzero(owner == j)[0]
             res = _subset_plan(lo[idx] - j * shard_rows, idx,
-                               shard_rows, k_c)
+                               shard_rows, k_c, dim=dim)
             if res is None:
                 return None  # bucket overflow -> caller falls back
             plan_j, slots = res
@@ -435,11 +472,11 @@ def stream_ids(plan, flat_ids: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     see make_sort_plan)."""
     if "sorted_ids" in plan:
         return plan["sorted_ids"]
-    tile = _tile_rows(num_rows)
-    v_pad = -(-num_rows // tile) * tile
     perm = plan["perm"]
     ids = jnp.take(flat_ids, perm, axis=0)  # -1 clips to 0; masked next
-    ids = jnp.where(perm >= 0, ids, v_pad + tile).astype(jnp.int32)
+    # the sentinel only needs to land outside every tile's [base, base+tile)
+    # range; num_rows + 8192 clears any tile size without knowing the tile
+    ids = jnp.where(perm >= 0, ids, num_rows + 8192).astype(jnp.int32)
     return ids.reshape(-1, CHUNK)
 
 
@@ -495,10 +532,10 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
     ``capacity_ok`` skips the chunk-count check for capacity-bounded plans
     (the TP subset plans), whose K is a capacity, not plan_chunks(N)."""
     n, dim = rows.shape
-    tile = _tile_rows(num_rows)
+    tile = _plan_tile(plan, num_rows, dim)
     v_pad = -(-num_rows // tile) * tile
     k_chunks = plan["meta"].shape[0]
-    expected = plan_chunks(n, num_rows)
+    expected = plan_chunks_for_tile(n, num_rows, tile)
     if k_chunks != expected and not capacity_ok:
         raise ValueError(
             f"sort plan was built for a different table/batch: {k_chunks} "
@@ -531,11 +568,117 @@ def presorted_segment_accumulate(plan, rows: jnp.ndarray,
     return out if v_pad == num_rows else out[:num_rows]
 
 
+def _select_tile_kernel(starts_ref, ids_hbm, table_ref, out_hbm,
+                        sel_buf, ids_buf, qn_ref, sem_i, sem_o,
+                        *, dim, tile_rows, mode, t_tiles):
+    """Forward select, tile-grid variant: the table block is AFFINE-indexed
+    by the grid step (Mosaic auto-pipelines the one heavy read stream at full
+    bandwidth), each tile's chunks are walked with the same global NBUF-deep
+    ids ring as the fused-Adam kernel, and the selected [128, D] rows are
+    written to the HBM stream buffer by manual async copies.
+
+    Replaces the chunk-grid ``_select_kernel``, whose table fetches were
+    keyed on a prefetched scalar (``meta[k] >> 2``) — Mosaic cannot look
+    ahead through scalar-keyed maps, so every tile paid the HBM latency
+    serially: 1.53 ms for the 205 MB bench table (134 GB/s) vs ~0.5 ms here.
+    """
+    from .fused_adam import NBUF
+
+    t = pl.program_id(0)
+    c0 = starts_ref[t]
+    c1 = starts_ref[t + 1]
+    used = starts_ref[t_tiles]
+    row_base = t * tile_rows
+
+    def ids_copy(q, slot):
+        return pltpu.make_async_copy(ids_hbm.at[pl.ds(q, 1), :],
+                                     ids_buf.at[pl.ds(slot, 1), :],
+                                     sem_i.at[slot])
+
+    def out_copy(q, slot):
+        # stream buffer is TRANSPOSED [D, K*128]: the minor slice is 128-lane
+        # aligned (manual DMA requires it; a [128, D] slice is not at D<128)
+        return pltpu.make_async_copy(
+            sel_buf.at[slot],
+            out_hbm.at[:, pl.ds(q * CHUNK, CHUNK)],
+            sem_o.at[slot])
+
+    @pl.when(t == 0)
+    def _warm():
+        n0 = jnp.minimum(NBUF - 1, used)
+
+        def warm(q, _):
+            ids_copy(q, q).start()  # slot == q while q < NBUF
+            return 0
+
+        jax.lax.fori_loop(0, n0, warm, 0)
+        qn_ref[0] = n0
+
+    def body(c, _):
+        slot = jax.lax.rem(c, NBUF)
+        ids_copy(c, slot).wait()
+        local = ids_buf[slot, :] - row_base           # [128]
+        onehot = (local[:, None] ==
+                  jax.lax.broadcasted_iota(jnp.int32, (CHUNK, tile_rows), 1)
+                  ).astype(jnp.float32)               # [128, R]
+
+        def dot_s(rhs, precision):
+            # rhs is the tile of the TRANSPOSED table [D, R] (a bitcast of
+            # the column-major param): [D, 128] = rhs @ onehot^T — emitted
+            # directly in the stream buffer's [D, slots] orientation
+            return jax.lax.dot_general(
+                rhs, onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        tile_vals = table_ref[:, :]
+        if mode == "split2":
+            hi = tile_vals.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = tile_vals - hi
+            acc = (dot_s(hi, jax.lax.Precision.DEFAULT)
+                   + dot_s(lo, jax.lax.Precision.DEFAULT))
+        elif mode == "default":
+            acc = dot_s(tile_vals, jax.lax.Precision.DEFAULT)
+        else:
+            acc = dot_s(tile_vals, jax.lax.Precision.HIGHEST)
+        # sentinel ids in padding slots match no one-hot column -> zeros,
+        # so padding chunks need no gating (same rows as the zeroing kernel)
+
+        @pl.when(c >= NBUF)
+        def _wait_prev_out():  # this slot's previous output DMA, NBUF ago
+            out_copy(c - NBUF, slot).wait()
+
+        sel_buf[slot] = acc
+        out_copy(c, slot).start()
+        qn = qn_ref[0]
+
+        @pl.when(qn < used)
+        def _refill():
+            ids_copy(qn, jax.lax.rem(qn, NBUF)).start()
+
+        qn_ref[0] = qn + jnp.where(qn < used, 1, 0)
+        return 0
+
+    jax.lax.fori_loop(c0, c1, body, 0)
+
+    @pl.when(t == t_tiles - 1)
+    def _drain():  # the last NBUF output DMAs are still in flight
+        def wait_out(q, _):
+            out_copy(q, jax.lax.rem(q, NBUF)).wait()
+            return 0
+
+        jax.lax.fori_loop(jnp.maximum(used - NBUF, 0), used, wait_out, 0)
+
+
 def _select_kernel(meta_ref, ids_ref, table_ref, out_ref, *, dim, tile_rows,
                    mode):
     """Forward: stream the table tile-sequentially and select each chunk's
     rows with a one-hot matmul — beats XLA's random row gather once lookups
-    are dense enough that the gather's per-row latency exceeds a full scan."""
+    are dense enough that the gather's per-row latency exceeds a full scan.
+    (Chunk-grid fallback for plans without ``tile_starts``; the tile-grid
+    ``_select_tile_kernel`` above is the fast path.)"""
     k = pl.program_id(0)
     m = meta_ref[k]
     row_base = (m >> 2) * tile_rows
@@ -553,11 +696,11 @@ def _select_kernel(meta_ref, ids_ref, table_ref, out_ref, *, dim, tile_rows,
             # stored column-major (see the layout comment in _chunk_kernel),
             # so table.T is a bitcast and the kernel reads it copy-free
             return jax.lax.dot_general(
-                onehot, rhs,
+                rhs, onehot,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
-            )  # [128, D]
+            )  # [D, 128] — the stream buffer's orientation
 
         tile_vals = table_ref[:, :]
         if mode == "split2":
@@ -584,11 +727,45 @@ _SCAN_FWD_DENSITY = 24
 
 
 def _select_stream(table, plan, ids_stream) -> jnp.ndarray:
-    """The scan-select kernel's raw output: per-slot rows [K*128, D] in
-    stream order (padding slots zero)."""
+    """The scan-select kernel's raw output: per-slot rows TRANSPOSED
+    [D, K*128] in stream order (the [D, slots] orientation keeps every manual
+    DMA slice 128-lane aligned; padding slots zero; slots past the plan's
+    used chunk count are undefined — ``inv_perm`` never references them)."""
+    from .fused_adam import NBUF
+
     num_rows, dim = table.shape
-    tile = _tile_rows(num_rows)
+    tile = _plan_tile(plan, num_rows, dim)
     k_chunks = plan["meta"].shape[0]
+    v_pad = -(-num_rows // tile) * tile
+    t_tiles = v_pad // tile
+    starts = plan.get("tile_starts")
+    if starts is not None and starts.shape[0] == t_tiles + 1:
+        # fast path: affine tile grid + manual ids ring / output DMAs
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # ids stream [K, 128], HBM
+                pl.BlockSpec((dim, tile), lambda t, starts: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # stream buf, HBM
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, dim, CHUNK), jnp.float32),  # sel ring
+                pltpu.VMEM((NBUF, CHUNK), jnp.int32),         # ids ring
+                pltpu.SMEM((1,), jnp.int32),                  # next to issue
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_select_tile_kernel, dim=dim, tile_rows=tile,
+                              mode=_grad_mode(), t_tiles=t_tiles),
+            grid_spec=grid_spec,
+            interpret=_interpret(),
+            out_shape=jax.ShapeDtypeStruct((dim, k_chunks * CHUNK),
+                                           jnp.float32),
+        )(starts, ids_stream, table.T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k_chunks,),
@@ -598,7 +775,7 @@ def _select_stream(table, plan, ids_stream) -> jnp.ndarray:
             pl.BlockSpec((dim, tile), lambda k, meta: (0, meta[k] >> 2),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, dim), lambda k, meta: (k, 0),
+        out_specs=pl.BlockSpec((dim, CHUNK), lambda k, meta: (0, k),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -606,13 +783,14 @@ def _select_stream(table, plan, ids_stream) -> jnp.ndarray:
                           mode=_grad_mode()),
         grid_spec=grid_spec,
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((k_chunks * CHUNK, dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dim, k_chunks * CHUNK), jnp.float32),
     )(plan["meta"], ids_stream, table.T)
 
 
 def _scan_select_forward(table, ids, plan, ids_stream):
-    stream = _select_stream(table, plan, ids_stream)
-    flat = jnp.take(stream, plan["inv_perm"], axis=0)  # un-permute (small src)
+    stream_t = _select_stream(table, plan, ids_stream)       # [D, K*128]
+    flat_t = jnp.take(stream_t, plan["inv_perm"], axis=1)    # un-permute
+    flat = flat_t.T  # [N, D]
     return flat.reshape(ids.shape + (table.shape[1],)).astype(table.dtype)
 
 
@@ -627,7 +805,9 @@ def _scan_fwd_ok(table, ids, plan) -> bool:
 
 
 def _planned_value(table, ids, plan, ids_stream=None):
-    expected = plan_chunks(ids.size, table.shape[0])
+    expected = plan_chunks_for_tile(
+        ids.size, table.shape[0],
+        _plan_tile(plan, table.shape[0], table.shape[1]))
     if plan["meta"].shape[0] != expected:
         raise ValueError(
             f"sort plan was built for a different table/batch: "
@@ -693,18 +873,19 @@ def _tp_value(table_shard, ids, plan_ij, inv_i):
         "1", "on", "true")
     if (scan_on and dim >= 8
             and ids_stream.size * (_SCAN_FWD_DENSITY // 2) >= shard_rows):
-        stream = _select_stream(table_shard, plan_ij, ids_stream)
+        stream_t = _select_stream(table_shard, plan_ij, ids_stream)
     else:
         # low density: per-slot gather (sentinel slots clip; never read back)
-        stream = jnp.take(table_shard, ids_stream.reshape(-1), axis=0,
-                          mode="clip").astype(jnp.float32)
-    all_stream = jax.lax.all_gather(stream, MODEL_AXIS, axis=0, tiled=True)
-    flat = jnp.take(all_stream, inv_i, axis=0)
+        stream_t = jnp.take(table_shard.T, ids_stream.reshape(-1), axis=1,
+                            mode="clip").astype(jnp.float32)
+    # stream is [D, slots]: gather over 'model' concatenates the slot axis
+    all_stream = jax.lax.all_gather(stream_t, MODEL_AXIS, axis=1, tiled=True)
+    flat = jnp.take(all_stream, inv_i, axis=1).T
     return flat.reshape(ids.shape + (dim,)).astype(table_shard.dtype)
 
 
 def tp_plan_matches(plan, num_lookups: int, num_rows: int,
-                    n_data: int, n_model: int) -> bool:
+                    n_data: int, n_model: int, dim: int = 32) -> bool:
     """Shape check for a TP plan ([n_data, n_model, ...] leaves)."""
     if plan is None or "meta" not in plan or "inv_perm_global" not in plan:
         return False
@@ -714,7 +895,7 @@ def tp_plan_matches(plan, num_lookups: int, num_rows: int,
     if num_rows % n_model:
         return False
     n_l = num_lookups // n_data
-    k_c = tp_capacity_chunks(n_l, num_rows // n_model, n_model)
+    k_c = tp_capacity_chunks(n_l, num_rows // n_model, n_model, dim)
     return (meta.shape == (n_data, n_model, k_c)
             and plan["perm"].shape == (n_data, n_model, k_c * CHUNK)
             and plan["inv_perm_global"].shape == (n_data, n_l))
@@ -802,11 +983,13 @@ def planned_path_ok(num_rows: int, num_lookups: int, dim: int) -> bool:
             and dim <= 128 and (dim < 8 or dim % 8 == 0))
 
 
-def plan_matches(plan, num_lookups: int, num_rows: int) -> bool:
+def plan_matches(plan, num_lookups: int, num_rows: int,
+                 dim: int = 32) -> bool:
     """Shape-level consistency check (content is the caller's contract)."""
     if plan is None or "meta" not in plan:
         return False
-    k = plan_chunks(num_lookups, num_rows)
+    k = plan_chunks_for_tile(num_lookups, num_rows,
+                             _plan_tile(plan, num_rows, dim))
     return (plan["meta"].shape == (k,)
             and plan["perm"].shape == (k * CHUNK,)
             and plan.get("inv_perm") is not None
@@ -828,7 +1011,7 @@ def plan_matches(plan, num_lookups: int, num_rows: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def make_sharded_sort_plan(flat_ids, num_rows: int, n_shards: int,
-                           compact: bool = False):
+                           compact: bool = False, dim: int = 32):
     """Per-data-shard sort plans, leaves stacked on a leading [n_shards] axis.
 
     ``flat_ids`` must be the row-major flattening of the batch's id matrix so
@@ -843,19 +1026,20 @@ def make_sharded_sort_plan(flat_ids, num_rows: int, n_shards: int,
     # n_shards == 1 still returns STACKED [1, ...] leaves: mesh-mode plans are
     # identified by their leading shard axis (a 1-device mesh is still a mesh)
     blocks = ids.reshape(n_shards, -1)
-    plans = [make_sort_plan(b, num_rows, compact) for b in blocks]
+    plans = [make_sort_plan(b, num_rows, compact, dim=dim) for b in blocks]
     return {k: np.stack([p[k] for p in plans]) for k in plans[0]}
 
 
 def sharded_plan_matches(plan, num_lookups: int, num_rows: int,
-                         n_shards: int) -> bool:
+                         n_shards: int, dim: int = 32) -> bool:
     """Shape check for a stacked per-shard plan (leading axis = n_shards)."""
     if plan is None or "meta" not in plan:
         return False
     if getattr(plan["meta"], "ndim", 1) != 2 or num_lookups % n_shards:
         return False
     n_local = num_lookups // n_shards
-    k = plan_chunks(n_local, num_rows)
+    k = plan_chunks_for_tile(n_local, num_rows,
+                             _plan_tile(plan, num_rows, dim))
     return (plan["meta"].shape == (n_shards, k)
             and plan["perm"].shape == (n_shards, k * CHUNK)
             and plan.get("inv_perm") is not None

@@ -21,8 +21,10 @@ heavy INPUT blocks keyed on a prefetched scalar stall per tile):
 * each tile's (variable-length) run of 128-entry chunks — located by the
   plan's ``tile_starts`` — is fetched by a manual NBUF-deep async-copy ring
   from HBM and accumulated with one-hot MXU matmuls into a VMEM scratch tile;
-* on the last chunk the resident p/m/v blocks are updated in place
-  (``input_output_aliases``) with dense-semantics Adam.
+* on the last chunk the resident p/m/v blocks are combined with the
+  accumulated gradient by dense-semantics Adam and streamed to FRESH output
+  buffers — in-place aliasing serializes Mosaic's write-back against the
+  input fetches (see the note at the pallas_call below).
 
 Semantics are DENSE Adam (optax.adam parity): every tile is visited every
 step, so rows absent from the batch still have their moments decayed and
@@ -42,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .embedding_grad import CHUNK, _grad_mode, _tile_rows, plan_chunks
+from .embedding_grad import (CHUNK, _grad_mode, _plan_tile, _tile_rows,
+                             plan_chunks_for_tile)
 
 NBUF = 8  # chunk-fetch ring depth (the ring is global over the stream)
 _VMEM_BUDGET = 10 * 1024 * 1024  # six double-buffered [D, R] blocks must fit
@@ -168,7 +171,7 @@ def _adam_tile_kernel(starts_ref, hyper_ref, ids_hbm, rows_hbm, p_ref, m_ref,
 def fused_adam_fits(num_rows: int, dim: int, has_dense: bool = False) -> bool:
     """Six (seven with a dense-grad stream) double-buffered [dim, tile] f32
     blocks must fit VMEM."""
-    tile = _tile_rows(num_rows)
+    tile = _tile_rows(num_rows, dim)
     return (14 if has_dense else 12) * dim * tile * 4 <= _VMEM_BUDGET
 
 
@@ -197,7 +200,7 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
     interpret = interpret or _interpret()
     n, dim = rows.shape
     num_rows = table.shape[0]
-    tile = _tile_rows(num_rows)
+    tile = _plan_tile(plan, num_rows, dim)
     if num_rows % tile:
         raise ValueError(
             f"fused Adam needs a tile-padded table; got {num_rows} rows "
@@ -211,7 +214,7 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
             f"{plan['tile_starts'].shape[0]} entries, expected {t_tiles + 1} "
             f"(= {num_rows} rows / tile {tile} + 1)")
     k_chunks = plan["meta"].shape[0]
-    expected = plan_chunks(n, num_rows)
+    expected = plan_chunks_for_tile(n, num_rows, tile)
     if k_chunks != expected:
         raise ValueError(
             f"sort plan was built for a different table/batch: {k_chunks} "
@@ -255,15 +258,18 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
         ],
     )
     shape = jax.ShapeDtypeStruct((dim, num_rows), jnp.float32)
-    # operand indices include the two scalar-prefetch args
-    aliases = ({4: 0, 5: 1, 6: 2})
+    # NO input_output_aliases: Mosaic serializes the output write-back with
+    # the input fetches when a block streams in-place to the same HBM region
+    # (measured 4.6 ms aliased vs 2.8 ms fresh-output for the 6-pass stream —
+    # scripts/exp_stream_sweep.py).  Fresh outputs cost a transient 3x[V,D]
+    # (615 MB at the bench shape) and run at the XLA elementwise rate; the
+    # donated old buffers are recycled by the allocator on the next step.
     new_p, new_m, new_v = pl.pallas_call(
         functools.partial(_adam_tile_kernel, dim=dim, tile_rows=tile,
                           mode=_grad_mode(), t_tiles=t_tiles,
                           has_dense=has_dense),
         grid_spec=grid_spec,
         out_shape=[shape, shape, shape],
-        input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
     # .T back into [V, D]: a layout bitcast of the column-major storage

@@ -84,7 +84,9 @@ def fused_update_applicable(model, params, sample_batch,
             return None
         if not fused_adam_fits(rows, dim):
             return None
-    if not plan_matches(plan, n, rows) or "tile_starts" not in plan:
+    emb_dim = max(tables.values())
+    if (not plan_matches(plan, n, rows, emb_dim)
+            or "tile_starts" not in plan):
         return None
     return tables
 
@@ -233,8 +235,18 @@ def _fused_step_fn(model, tables: Dict[int, Tuple[str, ...]],
 
 
 def make_fused_update_train_step(*args, **kwargs):
-    """Jitted single-step fused-update trainer (see ``_fused_step_fn``)."""
-    return jax.jit(_fused_step_fn(*args, **kwargs), donate_argnums=(0,))
+    """Jitted single-step fused-update trainer (see ``_fused_step_fn``).
+
+    The state is intentionally NOT donated: donation compiles to must-alias
+    pairs, forcing XLA to copy the Adam kernel's fresh [V, D] outputs back
+    into the donated table buffers (3 full-table copies, ~2 ms at the bench
+    shape) — and writing the kernel's outputs in-place instead (via
+    input_output_aliases) serializes Mosaic's output write-back against the
+    input fetches (scripts/exp_stream_sweep.py: 4.6 vs 2.8 ms for the 6-pass
+    stream).  Fresh outputs + no donation is the fast configuration; the cost
+    is one transient extra copy of the big tables (old + new live across the
+    step), which the reference workloads have ample HBM for."""
+    return jax.jit(_fused_step_fn(*args, **kwargs))
 
 
 # --------------------------------------------------------------------------- #
@@ -290,7 +302,7 @@ def seq_fused_applicable(model, params, sample_batch,
 
     if not fused_adam_fits(rows, dim, has_dense=True):
         return None
-    if not plan_matches(plan, n, rows) or "tile_starts" not in plan:
+    if not plan_matches(plan, n, rows, dim) or "tile_starts" not in plan:
         return None
     return {"path": path, "dim": dim, "rows": rows, "vocab": vocab}
 
@@ -390,10 +402,11 @@ def maybe_enable_seq_fused_update(state: TrainState, model, sample_batch,
         state.params, {info["path"]: info["dim"]}, lr, steps_per_epoch,
         lr_scheduler_type, scheduler_params)
     state = state.replace(tx=tx, opt_state=opt_state)
+    # no donation — see make_fused_update_train_step (avoids 3 full-table
+    # copy-backs into donated buffers)
     step = jax.jit(_seq_fused_step_fn(model, info, lr, steps_per_epoch,
                                       lr_scheduler_type, scheduler_params,
-                                      mesh=mesh),
-                   donate_argnums=(0,))
+                                      mesh=mesh))
     return state, step, info
 
 
@@ -411,4 +424,5 @@ def make_fused_multi_step(num_steps: int, *args, **kwargs):
 
         return jax.lax.scan(body, state, stacked_batches)
 
-    return jax.jit(multi_step, donate_argnums=(0,))
+    # no donation — see make_fused_update_train_step
+    return jax.jit(multi_step)

@@ -117,13 +117,25 @@ for cls in [MMOE, ESSM]:
 # ---- sequence recall ---------------------------------------------------------
 seq_schema = {"user_col": "user_id", "item_col": "item_id", "cate_cols": ["genre"],
               "max_length": 20, "time_col": "timestamp", "task_type": "sequence"}
-config = {"embedding_dim": 64, "K": 4, "device": -1, **seq_schema}
+# device must be a torch.device: the reference stores config['device'] raw and
+# calls .to(self.device) (base_model.py:114, comirec.py:48); torch>=2 rejects
+# the reference examples' bare -1
+config = {"embedding_dim": 64, "K": 4, "device": torch.device("cpu"),
+          **seq_schema}
 d = os.path.join(_REPO, "examples/sequence_recall/sample_data")
 train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
     pd.read_csv(f"{d}/sample_train.csv"),
     pd.read_csv(f"{d}/sample_valid.csv"),
     pd.read_csv(f"{d}/sample_test.csv"),
     seq_schema, batch_size=256)
+# Reference bug worked around: get_sequence_dataloader builds the TEST loader
+# with drop_last=True (process_data.py:48-49), which silently drops the
+# bundled 100-user test set entirely (100 < batch) and reports all-zero
+# recall/ndcg/hitrate.  Rebuild the test loader keeping the last batch.
+import torch.utils.data as D
+
+test_loader = D.DataLoader(test_loader.dataset, batch_size=256, shuffle=False,
+                           num_workers=0, drop_last=False)
 for cls in [YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND]:
     name = cls.__name__
     # the reference's SequenceTrainer writes log.csv without creating the
