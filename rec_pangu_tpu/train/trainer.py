@@ -20,6 +20,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -594,6 +595,24 @@ class SequenceTrainer(_BaseTrainer):
         return metric_dict
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _masked_topk(user_embs, item_embs, user_idx, seen, k):
+    """Score a chunk of users against the full item table, bias out each
+    user's already-seen items, and take the top-k — all on device.  ``seen``
+    is [B, S] item ids padded with V; an extra sentinel column absorbs the
+    pads so the scatter needs no mask."""
+    u = user_embs[user_idx]
+    scores = jnp.dot(u, item_embs.T, preferred_element_type=jnp.float32)
+    scores = jnp.pad(scores, ((0, 0), (0, 1)))
+    rows = jnp.arange(u.shape[0])[:, None]
+    scores = scores.at[rows, seen].set(-jnp.inf)
+    _, idx = jax.lax.top_k(scores[:, :-1], k)
+    return idx
+
+
 class GraphTrainer(_BaseTrainer):
     """Driver for graph-CF models (parity: trainer.py:412-434 +
     model_pipeline.py:321-365): BPR sampling per step, full-corpus top-k eval
@@ -618,21 +637,44 @@ class GraphTrainer(_BaseTrainer):
 
     def evaluate_model(self, model, train_dataset, test_dataset,
                        hidden_size: int = None, topN: int = 50) -> Dict[str, float]:
-        """Parity: model_pipeline.test_graph_model:344-365 — raw inner-product
-        top-1000, filter items seen in training, recall@topN."""
+        """Parity: model_pipeline.test_graph_model:344-365 — inner-product
+        top-k over the full corpus with items seen in training filtered out.
+
+        Device-side: scoring, the seen-item filter (a large-negative bias
+        scattered at each user's train items), and the top-k all run inside
+        one jitted function — the reference's host argsort + Python seen-set
+        loop never materializes the [B, V] scores on host.  Seen-filtering
+        before top-k ranks the same unseen items in the same order as the
+        reference's filter-after-top-1000, and cannot come up short of topN
+        candidates the way the reference can when >950 of a user's top-1000
+        are already seen."""
         out = self._eval_step(self.state, {})
-        user_embs = np.asarray(out["user_emb"])
-        item_embs = np.asarray(out["item_emb"])
+        user_embs = out["user_emb"]
+        item_embs = out["item_emb"]
         train_gd = train_dataset.test_gd
         test_gd = test_dataset.test_gd
-        users = list(test_gd.keys())
-        k = min(1000, item_embs.shape[0])
-        preds = {}
-        for start in range(0, len(users), 1000):
-            chunk = users[start : start + 1000]
-            scores = user_embs[np.asarray(chunk)] @ item_embs.T
-            top = np.argsort(-scores, axis=1)[:, :k]
-            for i, u in enumerate(chunk):
-                seen = set(train_gd.get(u, []))
-                preds[u] = [int(x) for x in top[i] if int(x) not in seen]
+        users = np.fromiter(test_gd.keys(), dtype=np.int64)
+        V = int(item_embs.shape[0])
+        k = min(1000, V)
+        # Pad per-user seen lists to one [B, S] id array; the pad slot points
+        # at an extra sentinel column so the scatter stays shape-static.
+        max_seen = max([len(train_gd.get(int(u), [])) for u in users] or [0])
+        seen = np.full((len(users), max(1, max_seen)), V, dtype=np.int64)
+        for i, u in enumerate(users):
+            s = train_gd.get(int(u), [])
+            if s:
+                seen[i, : len(s)] = s
+        # Fixed-size user chunks -> a single compile regardless of |users|.
+        chunk = min(1024, len(users))
+        pad = (-len(users)) % chunk
+        users_p = np.pad(users, (0, pad))
+        seen_p = np.pad(seen, ((0, pad), (0, 0)), constant_values=V)
+        tops = [
+            np.asarray(_masked_topk(user_embs, item_embs,
+                                    jnp.asarray(users_p[s : s + chunk]),
+                                    jnp.asarray(seen_p[s : s + chunk]), k))
+            for s in range(0, len(users_p), chunk)
+        ]
+        top = np.concatenate(tops, axis=0)[: len(users)]
+        preds = {int(u): top[i].tolist() for i, u in enumerate(users)}
         return evaluate_recall(preds, test_gd, topN)

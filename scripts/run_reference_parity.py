@@ -34,6 +34,23 @@ if not hasattr(pd.DataFrame, "append"):
 import rec_pangu.model_pipeline as _mp
 from sklearn.metrics import log_loss as _sk_log_loss
 
+# Latent reference bug worked around (bites with real faiss too): for 2-D
+# user-emb models get_recall_predict stores *numpy arrays* in preds
+# (rec_pangu/utils/evaluate.py:66 `preds[str(user)] = I[i, :]`), but
+# evaluate_recall calls `preds[user][:topN].index(item_id)` (evaluate.py:122)
+# — ndarray has no .index().  Convert each pred to a plain list after the
+# original runs; list.index == first occurrence == the ranked position, so
+# metric semantics are unchanged (the multi-interest branch already builds
+# lists).
+_orig_get_recall_predict = _mp.get_recall_predict
+
+def _get_recall_predict_lists(*a, **kw):
+    preds = _orig_get_recall_predict(*a, **kw)
+    return {u: (p.tolist() if isinstance(p, np.ndarray) else p)
+            for u, p in preds.items()}
+
+_mp.get_recall_predict = _get_recall_predict_lists
+
 # sklearn>=1.5 removed log_loss's eps kwarg; the reference passes eps=1e-7
 # (rec_pangu/model_pipeline.py:83,121).  Same semantics: clip preds first.
 def _log_loss_eps(y_true, y_pred, eps=1e-7, **kw):
@@ -66,53 +83,78 @@ def _fixed_mtl_init(self, config, df, enc_dict=None):
 
 MultiTaskDataset.__init__ = _fixed_mtl_init
 
-RANKING_SCHEMA = {
-    "sparse_cols": ["user_id", "item_id", "item_type", "dayofweek", "is_workday",
-                    "city", "county", "town", "village", "lbs_city", "lbs_district",
-                    "hardware_platform", "hardware_ischarging", "os_type",
-                    "network_type", "position"],
-    "dense_cols": ["item_expo_1d", "item_expo_7d", "item_expo_14d", "item_expo_30d",
-                   "item_clk_1d", "item_clk_7d", "item_clk_14d", "item_clk_30d",
-                   "use_duration"],
-    "label_col": "click",
-    "task_type": "ranking",
-}
+from parity_common import (RANKING_SCHEMA, RATINGS_SCHEMA, RATINGS_EPOCHS,
+                           RATINGS_BATCH, SEQ_EPOCHS, SEQ_BATCH, RANKING_MODELS,
+                           MTL_MODELS, SEQ_MODELS, load_ratings_ctr, repo_path)
 
+_OUT = os.path.join(_REPO, "reference_results.json")
 results = {}
+if os.path.exists(_OUT):  # resume a partial run
+    with open(_OUT) as f:
+        results = json.load(f)
+
+
+def record(name, value):
+    """Dump incrementally after EVERY model so a crash loses nothing
+    (VERDICT r2 item 1)."""
+    results[name] = value
+    with open(_OUT, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print(name, value, flush=True)
+
+
+_RANK_CLS = {c.__name__: c for c in [DeepFM, DCN, xDeepFM, AutoInt, FiBiNet, MaskNet]}
 
 # ---- ranking zoo (identical slices/budgets to scripts/fill_baseline.py) ----
-df = pd.read_csv(os.path.join(_REPO, "examples/ranking/sample_data/ranking_sample_data.csv"))
+df = pd.read_csv(repo_path("examples/ranking/sample_data/ranking_sample_data.csv"))
 train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
     df[:80], df[:90], df[:95], RANKING_SCHEMA, batch_size=512)
-for cls in [DeepFM, DCN, xDeepFM, AutoInt, FiBiNet, MaskNet]:
-    name = cls.__name__
+for name in RANKING_MODELS:
+    if name in results:
+        continue
     seed_everything(1029)
-    model = cls(enc_dict=enc_dict)
+    model = _RANK_CLS[name](enc_dict=enc_dict)
     tr = RankTrainer(num_task=1, model_ckpt_dir=f"/tmp/ref_ckpt/{name}")
     t0 = time.time()
     tr.fit(model, train_loader, valid_loader, epoch=15, lr=1e-3,
            use_earlystopping=True, max_patience=3, monitor_metric="roc_auc_score")
-    results[name] = {"test": tr.evaluate_model(model, test_loader),
-                     "train_s": round(time.time() - t0, 1)}
-    print(name, results[name], flush=True)
+    record(name, {"test": tr.evaluate_model(model, test_loader),
+                  "train_s": round(time.time() - t0, 1)})
+
+# ---- ratings CTR (the meaningful ranking leg: 100,836 rows) ----------------
+rat_train, rat_valid, rat_test = load_ratings_ctr()
+train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+    rat_train, rat_valid, rat_test, RATINGS_SCHEMA, batch_size=RATINGS_BATCH)
+for name in RANKING_MODELS:
+    key = f"ratings/{name}"
+    if key in results:
+        continue
+    seed_everything(1029)
+    model = _RANK_CLS[name](enc_dict=enc_dict)
+    tr = RankTrainer(num_task=1, model_ckpt_dir=f"/tmp/ref_ckpt/ratings_{name}")
+    t0 = time.time()
+    tr.fit(model, train_loader, valid_loader, epoch=RATINGS_EPOCHS, lr=1e-3)
+    record(key, {"test": tr.evaluate_model(model, test_loader),
+                 "train_s": round(time.time() - t0, 1)})
 
 # ---- multi-task -------------------------------------------------------------
 mt_schema = {**RANKING_SCHEMA, "label_col": ["click", "scroll"],
              "task_type": "multitask"}
 mdf = pd.read_csv(
-    os.path.join(_REPO, "examples/multi_task/sample_data/multi_task_sample_data.csv"))
+    repo_path("examples/multi_task/sample_data/multi_task_sample_data.csv"))
 train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
     mdf[:80], mdf[:90], mdf[:95], mt_schema, batch_size=512)
-for cls in [MMOE, ESSM]:
-    name = cls.__name__
+_MTL_CLS = {"MMOE": MMOE, "ESSM": ESSM}
+for name in MTL_MODELS:
+    if name in results:
+        continue
     seed_everything(1029)
-    model = cls(enc_dict=enc_dict)
+    model = _MTL_CLS[name](enc_dict=enc_dict)
     tr = RankTrainer(num_task=2, model_ckpt_dir=f"/tmp/ref_ckpt/{name}")
     t0 = time.time()
     tr.fit(model, train_loader, valid_loader, epoch=10, lr=1e-3)
-    results[name] = {"test": tr.evaluate_model(model, test_loader),
-                     "train_s": round(time.time() - t0, 1)}
-    print(name, results[name], flush=True)
+    record(name, {"test": tr.evaluate_model(model, test_loader),
+                  "train_s": round(time.time() - t0, 1)})
 
 # ---- sequence recall ---------------------------------------------------------
 seq_schema = {"user_col": "user_id", "item_col": "item_id", "cate_cols": ["genre"],
@@ -122,36 +164,36 @@ seq_schema = {"user_col": "user_id", "item_col": "item_id", "cate_cols": ["genre
 # the reference examples' bare -1
 config = {"embedding_dim": 64, "K": 4, "device": torch.device("cpu"),
           **seq_schema}
-d = os.path.join(_REPO, "examples/sequence_recall/sample_data")
+d = repo_path("examples/sequence_recall/sample_data")
 train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
     pd.read_csv(f"{d}/sample_train.csv"),
     pd.read_csv(f"{d}/sample_valid.csv"),
     pd.read_csv(f"{d}/sample_test.csv"),
-    seq_schema, batch_size=256)
+    seq_schema, batch_size=SEQ_BATCH)
 # Reference bug worked around: get_sequence_dataloader builds the TEST loader
 # with drop_last=True (process_data.py:48-49), which silently drops the
 # bundled 100-user test set entirely (100 < batch) and reports all-zero
 # recall/ndcg/hitrate.  Rebuild the test loader keeping the last batch.
 import torch.utils.data as D
 
-test_loader = D.DataLoader(test_loader.dataset, batch_size=256, shuffle=False,
-                           num_workers=0, drop_last=False)
-for cls in [YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND]:
-    name = cls.__name__
+test_loader = D.DataLoader(test_loader.dataset, batch_size=SEQ_BATCH,
+                           shuffle=False, num_workers=0, drop_last=False)
+_SEQ_CLS = {c.__name__: c
+            for c in [YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND]}
+for name in SEQ_MODELS:
+    if name in results:
+        continue
     # the reference's SequenceTrainer writes log.csv without creating the
     # directory first (rec_pangu/trainer.py:327) — pre-create it
     os.makedirs(f"/tmp/ref_ckpt/{name}", exist_ok=True)
     seed_everything(1029)
-    model = cls(enc_dict=enc_dict, config=config)
+    model = _SEQ_CLS[name](enc_dict=enc_dict, config=config)
     tr = SequenceTrainer(model_ckpt_dir=f"/tmp/ref_ckpt/{name}")
     t0 = time.time()
-    tr.fit(model, train_loader, None, epoch=2, lr=1e-3, log_rounds=100)
+    tr.fit(model, train_loader, None, epoch=SEQ_EPOCHS, lr=1e-3, log_rounds=100)
     metric = tr.evaluate_model(model, test_loader)
     metric = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
               for k, v in metric.items()}
-    results[name] = {"test": metric, "train_s": round(time.time() - t0, 1)}
-    print(name, results[name], flush=True)
+    record(name, {"test": metric, "train_s": round(time.time() - t0, 1)})
 
-with open(os.path.join(_REPO, "reference_results.json"), "w") as f:
-    json.dump(results, f, indent=2, default=str)
 print("DONE")

@@ -40,3 +40,20 @@ def test_graph_dataset_and_ngcf(rng):
     metrics = trainer.evaluate_model(model, train_ds, test_ds, topN=20)
     assert set(metrics) == {"recall@20", "ndcg@20", "hitrate@20"}
     assert 0.0 <= metrics["recall@20"] <= 1.0
+
+    # Device-side eval == reference semantics (model_pipeline.py:344-365):
+    # host-numpy oracle does raw argsort top-1000 then filters seen items;
+    # the jitted masked-top-k path must rank the same unseen items.
+    from rec_pangu_tpu.eval.retrieval import evaluate_recall
+
+    out = trainer._eval_step(trainer.state, {})
+    user_embs = np.asarray(out["user_emb"])
+    item_embs = np.asarray(out["item_emb"])
+    oracle = {}
+    for u in test_ds.test_gd:
+        scores = user_embs[u] @ item_embs.T
+        top = np.argsort(-scores)[: min(1000, item_embs.shape[0])]
+        seen = set(train_ds.test_gd.get(u, []))
+        oracle[u] = [int(x) for x in top if int(x) not in seen]
+    oracle_metrics = evaluate_recall(oracle, test_ds.test_gd, 20)
+    assert metrics == oracle_metrics
