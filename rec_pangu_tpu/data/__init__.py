@@ -2,7 +2,7 @@ from .encoder import fit_enc_dict, fit_sequence_enc_dict, encode_ranking_df, Fea
 from .dataset import RankingDataset, MultiTaskDataset
 from .sequence import SequenceDataset, SequenceDatasetV2, seq_collate
 from .loader import DataLoader
-from .process_data import get_dataloader
+from .process_data import get_dataloader, get_single_dataloader
 
 __all__ = [
     "fit_enc_dict",
@@ -16,4 +16,5 @@ __all__ = [
     "seq_collate",
     "DataLoader",
     "get_dataloader",
+    "get_single_dataloader",
 ]

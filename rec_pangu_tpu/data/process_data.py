@@ -62,6 +62,18 @@ def get_sequence_dataloader_v2(train_df, valid_df, test_df, schema, batch_size=D
     return _sequence_dataloader(SequenceDatasetV2, train_df, valid_df, test_df, schema, batch_size)
 
 
+def get_single_dataloader(test_df: pd.DataFrame, schema: dict, enc_dict: dict,
+                          batch_size: int = 512) -> DataLoader:
+    """One inference/eval loader over a raw df encoded with a saved enc_dict
+    (parity: rec_pangu/dataset/process_data.py:80-90 — MultiTaskDataset when
+    ``label_col`` is a list, BaseDataset otherwise; never shuffled)."""
+    if isinstance(schema.get("label_col"), list):
+        ds = MultiTaskDataset(schema, test_df, enc_dict=enc_dict)
+    else:
+        ds = RankingDataset(schema, test_df, enc_dict=enc_dict)
+    return DataLoader(ds, batch_size, shuffle=False)
+
+
 def get_dataloader(
     train_df: pd.DataFrame,
     valid_df: pd.DataFrame,

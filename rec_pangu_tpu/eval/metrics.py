@@ -50,6 +50,47 @@ def log_loss(y_true: Sequence[float], y_pred: Sequence[float], eps: float = 1e-7
 _METRIC_FNS = {"roc_auc_score": roc_auc_score, "log_loss": log_loss}
 
 
+class RollingMetricBuffer:
+    """Bounded accumulator for train-metric samples.
+
+    The reference grows Python lists for the whole epoch
+    (rec_pangu/model_pipeline.py:60-63); this keeps only the most recent
+    ``window`` samples, so host memory per epoch is constant regardless of
+    epoch length.  Epochs shorter than ``window`` (every bundled fixture)
+    produce bit-identical metrics; longer epochs report the train metric
+    over the trailing window — the epoch-scale analogue of the reference's
+    rolling last-1000 AUC (model_pipeline.py:63).
+
+    Appended arrays may be device arrays; nothing is fetched until
+    ``concat()``, so the hot loop stays async.
+    """
+
+    def __init__(self, window: int = 1 << 20):
+        self.window = int(window)
+        self._chunks: List = []
+        self._sizes: List[int] = []
+        self._total = 0
+
+    def append(self, arr) -> None:
+        n = int(arr.shape[0])
+        self._chunks.append(arr)
+        self._sizes.append(n)
+        self._total += n
+        # drop whole oldest chunks while the remainder still covers window
+        while len(self._sizes) > 1 and self._total - self._sizes[0] >= self.window:
+            self._total -= self._sizes[0]
+            self._chunks.pop(0)
+            self._sizes.pop(0)
+
+    def __len__(self) -> int:
+        return min(self._total, self.window)
+
+    def concat(self) -> np.ndarray:
+        out = np.concatenate(
+            [np.asarray(c).reshape(len(c), -1) for c in self._chunks])
+        return out[-self.window:] if len(out) > self.window else out
+
+
 def compute_ranking_metrics(
     labels: np.ndarray,
     preds: np.ndarray,

@@ -171,7 +171,17 @@ def _plan_tile(plan, num_rows: int, dim: int) -> int:
     if ts is not None:
         t_tiles = ts.shape[-1] - 1
         if t_tiles > 0 and num_rows % t_tiles == 0:
-            return num_rows // t_tiles
+            tile = num_rows // t_tiles
+            # Accept the inference only when it is a tile the builder could
+            # actually have used (power-of-two in [128, 4096] dividing
+            # num_rows); e.g. a 1000-row table against a 128-tile plan would
+            # otherwise infer tile=125 and misplace every row_base.
+            if 128 <= tile <= 4096 and (tile & (tile - 1)) == 0:
+                return tile
+        raise ValueError(
+            f"plan tile_starts length {t_tiles + 1} is inconsistent with "
+            f"num_rows={num_rows}: no valid power-of-two tile in [128, 4096] "
+            f"matches — the plan was built for a different table")
     return _tile_rows(num_rows, dim)
 
 

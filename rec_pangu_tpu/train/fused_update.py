@@ -82,7 +82,9 @@ def fused_update_applicable(model, params, sample_batch,
     for _, dim in tables.items():
         if not planned_path_ok(spec.total_rows, n, dim):
             return None
-        if not fused_adam_fits(rows, dim):
+        # fit computed at the PLAN's tile — a table dim above the plan's
+        # build dim would otherwise pass the gate but blow VMEM at run time
+        if not fused_adam_fits(rows, dim, plan=plan):
             return None
     emb_dim = max(tables.values())
     if (not plan_matches(plan, n, rows, emb_dim)
@@ -300,7 +302,7 @@ def seq_fused_applicable(model, params, sample_batch,
         return None
     from ..ops.kernels.fused_adam import fused_adam_fits
 
-    if not fused_adam_fits(rows, dim, has_dense=True):
+    if not fused_adam_fits(rows, dim, has_dense=True, plan=plan):
         return None
     if not plan_matches(plan, n, rows, dim) or "tile_starts" not in plan:
         return None
@@ -417,6 +419,23 @@ def make_fused_multi_step(num_steps: int, *args, **kwargs):
     dispatch gap the same way ``steps.make_multi_step`` does for the standard
     step; returns per-step outputs with a leading [K] axis."""
     single = _fused_step_fn(*args, **kwargs)
+
+    def multi_step(state: TrainState, stacked_batches, rng):
+        def body(st, batch):
+            return single(st, batch, rng)
+
+        return jax.lax.scan(body, state, stacked_batches)
+
+    # no donation — see make_fused_update_train_step
+    return jax.jit(multi_step)
+
+
+def make_seq_fused_multi_step(num_steps: int, *args, **kwargs):
+    """Sequence analogue of ``make_fused_multi_step``: one dispatch scans
+    ``num_steps`` seq-fused steps (planned hist grads + streaming-CE dense
+    grad + in-kernel item-table Adam) over a stacked batch pytree.  The
+    expensive sequence zoo pays one host dispatch per K optimizer steps."""
+    single = _seq_fused_step_fn(*args, **kwargs)
 
     def multi_step(state: TrainState, stacked_batches, rng):
         def body(st, batch):

@@ -26,7 +26,7 @@ import pandas as pd
 
 from ..data.dataset import MultiTaskDataset, RankingDataset
 from ..data.loader import DataLoader
-from ..eval.metrics import compute_ranking_metrics
+from ..eval.metrics import RollingMetricBuffer, compute_ranking_metrics
 from ..eval.retrieval import evaluate_recall, get_recall_predict
 from ..utils.logging import HAS_WANDB, logger, wandb
 from .ckpt import load_checkpoint, save_checkpoint
@@ -369,11 +369,17 @@ class RankTrainer(_BaseTrainer):
         profiling = getattr(self, "_profile_dir", None) and epoch_idx == 1
         if profiling:
             jax.profiler.start_trace(self._profile_dir)
-        preds: List[np.ndarray] = []
-        labels: List[np.ndarray] = []
+        # bounded train-metric accumulation: constant host memory per epoch
+        # (REC_PANGU_TPU_TRAIN_METRIC_WINDOW samples; fixture-sized epochs
+        # are below the cap, so metrics are unchanged)
+        window = int(os.environ.get("REC_PANGU_TPU_TRAIN_METRIC_WINDOW",
+                                    str(1 << 20)))
+        preds = RollingMetricBuffer(window)
+        labels = RollingMetricBuffer(window)
         max_iter = len(train_loader)
         start = time.time()
         K = getattr(self, "_steps_per_call", 1)
+        n_seen = 0  # true processed count (the metric window is bounded)
 
         def record(out, label, k_axis=False):
             if self.num_task == 1:
@@ -388,6 +394,8 @@ class RankTrainer(_BaseTrainer):
                     if label.ndim > 2 else label.reshape(-1)
             preds.append(p)
             labels.append(label)
+            nonlocal n_seen
+            n_seen += int(label.shape[0])
 
         group: List[Dict] = []
         idx = 0
@@ -435,11 +443,11 @@ class RankTrainer(_BaseTrainer):
         if profiling:
             jax.profiler.stop_trace()
             logger.info(f"Profiler trace written to {self._profile_dir}")
-        pred_arr = np.concatenate([np.asarray(p).reshape(len(p), -1) for p in preds])
-        label_arr = np.concatenate([np.asarray(l).reshape(len(l), -1) for l in labels])
+        pred_arr = preds.concat()
+        label_arr = labels.concat()
         elapsed = time.time() - start
         n_devices = len(self.mesh.devices.flat) if getattr(self, "mesh", None) is not None else 1
-        eps = len(pred_arr) / max(elapsed, 1e-9)
+        eps = n_seen / max(elapsed, 1e-9)
         logger.info(f"Epoch throughput: {eps:,.0f} examples/s "
                     f"({eps / n_devices:,.0f} examples/s/chip)")
         return compute_ranking_metrics(label_arr, pred_arr, prefix="train_",
@@ -487,9 +495,13 @@ class RankTrainer(_BaseTrainer):
     def predict_dataframe(self, model, test_df: pd.DataFrame, enc_dict: dict,
                           schema: dict, batch_size: int = 1024, device=None) -> np.ndarray:
         """Parity: trainer.py:215-236 — encode a raw df with the saved enc_dict."""
-        ds_cls = MultiTaskDataset if self.num_task > 1 else RankingDataset
-        ds = ds_cls(schema, test_df, enc_dict=enc_dict)
-        loader = DataLoader(ds, batch_size=batch_size, shuffle=False)
+        from ..data.process_data import get_single_dataloader
+
+        if self.num_task > 1 and not isinstance(schema.get("label_col"), list):
+            ds = MultiTaskDataset(schema, test_df, enc_dict=enc_dict)
+            loader = DataLoader(ds, batch_size=batch_size, shuffle=False)
+        else:
+            loader = get_single_dataloader(test_df, schema, enc_dict, batch_size)
         return self.predict_dataloader(model, loader)
 
 
@@ -507,7 +519,7 @@ class SequenceTrainer(_BaseTrainer):
             monitor_metric: Optional[str] = None, log_rounds: int = 100,
             topk_list: Optional[List[int]] = None, lr_scheduler_type: str = "",
             scheduler_params: Optional[dict] = None, seed: int = 1029,
-            mesh=None) -> None:
+            mesh=None, steps_per_call: int = 1) -> None:
         topk_list = topk_list or [20, 50, 100]
         if self.use_wandb:
             self._wandb_init()
@@ -535,17 +547,63 @@ class SequenceTrainer(_BaseTrainer):
             self._train_step = fstep
             logger.info("Item-table Adam update fused into the planned "
                         "backward kernel (hist + softmax-CE grads)")
+        # K-step scan: one host dispatch per K optimizer steps — the
+        # expensive sequence zoo amortizes dispatch the same way RankTrainer
+        # does (VERDICT r2 item 4)
+        self._steps_per_call = max(1, int(steps_per_call))
+        if self._steps_per_call > 1:
+            if fstep is not None:
+                from .fused_update import make_seq_fused_multi_step
+
+                self._multi_step = make_seq_fused_multi_step(
+                    self._steps_per_call, model, _finfo, lr,
+                    len(train_loader), lr_scheduler_type, scheduler_params,
+                    mesh=mesh)
+            else:
+                self._multi_step = make_multi_step(self._has_bs,
+                                                   self._steps_per_call)
 
         logger.info("Model Starting Training")
         log_rows = []
         best_epoch, best_metric = -1, -np.inf
+        K = self._steps_per_call
         for i in range(1, epoch + 1):
             self._activate_mesh()
             start = time.time()
             max_iter = len(train_loader)
-            for idx, batch in enumerate(train_loader):
+            group: List[Dict] = []
+            idx = 0
+            for batch in train_loader:
                 batch, _ = strip_host_keys(batch)
                 batch = self._attach_plan(batch)
+                if K > 1:
+                    group.append(batch)
+                    # stackable = same hist shape AND same pytree structure
+                    s0 = jax.tree_util.tree_structure(group[0])
+                    full = all(
+                        g["hist_item_list"].shape == group[0]["hist_item_list"].shape
+                        and jax.tree_util.tree_structure(g) == s0
+                        for g in group)
+                    if len(group) == K and full:
+                        stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+                        stacked = self._put(stacked, stacked=True)
+                        self.state, outs = self._multi_step(
+                            self.state, stacked, self._rng)
+                        if (idx // K) % max(1, log_rounds // K) == 0:
+                            loss = float(np.asarray(outs["loss"])[-1])
+                            logger.info(f"Iter {idx}/{max_iter} "
+                                        f"Loss:{round(loss, 4)}")
+                        group = []
+                        idx += K
+                    elif not full:
+                        # flush the unstackable tail one step at a time
+                        for g in group:
+                            g = self._put(g)
+                            self.state, out = self._train_step(
+                                self.state, g, self._rng)
+                            idx += 1
+                        group = []
+                    continue
                 batch = self._put(batch)
                 self.state, out = self._train_step(self.state, batch, self._rng)
                 if idx % log_rounds == 0:
@@ -554,6 +612,10 @@ class SequenceTrainer(_BaseTrainer):
                     remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
                     logger.info(
                         f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+                idx += 1
+            for g in group:  # remainder when the loader ends mid-group
+                g = self._put(g)
+                self.state, out = self._train_step(self.state, g, self._rng)
             if valid_loader is not None:
                 valid_metric = self.evaluate_model(self.model, valid_loader,
                                                    topk_list=topk_list)

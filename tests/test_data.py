@@ -109,3 +109,26 @@ def test_loader_per_host_sharding(ranking_df):
     # shards are disjoint and cover all rows (same shuffle seed across ranks)
     total = sum(len(s) for s in shards)
     assert total == 80
+
+
+def test_get_single_dataloader(ranking_df, multitask_df):
+    """Parity: process_data.py:80-90 — one never-shuffled loader over a raw
+    df encoded with a saved enc_dict; MultiTaskDataset when label_col is a
+    list, ranking dataset otherwise."""
+    from rec_pangu_tpu.data import get_dataloader, get_single_dataloader
+
+    _, _, _, enc = get_dataloader(ranking_df[:80], ranking_df[:90],
+                                  ranking_df[:95], RANKING_SCHEMA, batch_size=32)
+    loader = get_single_dataloader(ranking_df[:95], RANKING_SCHEMA, enc,
+                                   batch_size=32)
+    batches = list(loader)
+    assert sum(len(b["label"]) for b in batches) == 95
+
+    mt_schema = {**RANKING_SCHEMA, "label_col": ["click", "scroll"],
+                 "task_type": "multitask"}
+    _, _, _, enc = get_dataloader(multitask_df[:80], multitask_df[:90],
+                                  multitask_df[:95], mt_schema, batch_size=32)
+    loader = get_single_dataloader(multitask_df[:95], mt_schema, enc,
+                                   batch_size=32)
+    b = next(iter(loader))
+    assert "task1_label" in b or "label" in b

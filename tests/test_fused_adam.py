@@ -306,3 +306,57 @@ def test_applicability_gates():
         assert fused_update_applicable(model, state.params, batch) is None
         _, step, _t = maybe_enable_fused_update(state, model, batch, 1e-3, 1)
         assert step is None
+
+
+def test_fused_path_engages_at_d128(monkeypatch):
+    """Regression: the pre-dim-aware VMEM sizing used a fixed 2048-row tile,
+    which at D=128 exceeded the 10 MB budget and SILENTLY disabled fusion
+    (embedding_grad.py _tile_rows docstring).  Dim-aware tiles must keep
+    every supported dim on the fused path."""
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    from rec_pangu_tpu.ops.kernels.embedding_grad import (_tile_rows,
+                                                          padded_rows)
+    from rec_pangu_tpu.ops.kernels.fused_adam import fused_adam_fits
+
+    rows = padded_rows(8 * 16_385)
+    for dim in (8, 32, 64, 128):
+        assert fused_adam_fits(rows, dim), f"D={dim} does not fit VMEM"
+        assert fused_adam_fits(rows, dim, has_dense=True), \
+            f"D={dim} dense stream does not fit VMEM"
+    assert _tile_rows(rows, 128) <= 1024  # 14*128*2048*4 = 14.7 MB > budget
+
+    # end-to-end: the gate must return tables for a D=128 model
+    enc, data = _ranking_fixture()
+    model = get_model("DeepFM")(enc_dict=enc, embedding_dim=128,
+                                hidden_units=(16,))
+    batch = attach_emb_plan(dict(data), model.spec, 128, force=True)
+    state = create_train_state(model, batch, make_optimizer(1e-3, 1),
+                               jax.random.PRNGKey(0))
+    assert fused_update_applicable(model, state.params, batch) is not None
+
+
+def test_plan_tile_rejects_mismatched_plan():
+    """ADVICE r2: _plan_tile must not silently infer a non-power-of-two tile
+    from a plan built for a different table (wrong row_base would drop or
+    misplace gradient rows)."""
+    from rec_pangu_tpu.ops.kernels.fused_adam import _plan_tile
+
+    # plan's tile_starts says 8+1 entries; a 1000-row table would infer
+    # tile=125 — invalid, must raise instead
+    plan = {"tile_starts": np.zeros(9, dtype=np.int32)}
+    with pytest.raises(ValueError, match="inconsistent"):
+        _plan_tile(plan, 1000, 32)
+
+
+def test_fused_adam_fits_uses_plan_tile():
+    """ADVICE r2: the VMEM fit must be computed at the PLAN's tile, not the
+    dim's own default tile — a D=64 table riding a D=32 plan's 4096-row tile
+    needs 12*64*4096*4 ≈ 12.6 MB > 10 MB."""
+    from rec_pangu_tpu.ops.kernels.embedding_grad import _tile_rows
+    from rec_pangu_tpu.ops.kernels.fused_adam import fused_adam_fits
+
+    rows = 65536 * 4  # large table: D=32 tile = 4096, D=64 tile = 2048
+    assert _tile_rows(rows, 32) == 4096 and _tile_rows(rows, 64) == 2048
+    plan_at_32 = {"tile_starts": np.zeros(rows // 4096 + 1, dtype=np.int32)}
+    assert fused_adam_fits(rows, 64)                      # own-tile fit: ok
+    assert not fused_adam_fits(rows, 64, plan=plan_at_32)  # plan-tile: too big

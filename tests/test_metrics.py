@@ -46,3 +46,27 @@ def test_merge_multi_interest_dedup_and_skip_zero():
     merged = merge_multi_interest(ids, scores, topn=3)
     # sorted by score: 5(.95), 3(.9), 0 skipped, 5 dup skipped, 7(.5)
     assert merged == [5, 3, 7]
+
+
+def test_rolling_metric_buffer_bounded_and_exact():
+    from rec_pangu_tpu.eval.metrics import RollingMetricBuffer
+
+    rng = np.random.default_rng(0)
+    chunks = [rng.random(7).astype(np.float32) for _ in range(30)]
+
+    # below the window: bit-identical to plain concatenation
+    buf = RollingMetricBuffer(window=1000)
+    for c in chunks:
+        buf.append(c)
+    np.testing.assert_array_equal(
+        buf.concat().reshape(-1), np.concatenate(chunks))
+
+    # above the window: holds exactly the trailing `window` samples and the
+    # internal chunk list stays bounded (constant host memory per epoch)
+    buf = RollingMetricBuffer(window=20)
+    for c in chunks:
+        buf.append(c)
+    assert len(buf) == 20
+    assert len(buf._chunks) <= 4  # ceil(20/7) + 1
+    np.testing.assert_array_equal(
+        buf.concat().reshape(-1), np.concatenate(chunks)[-20:])
