@@ -106,13 +106,18 @@ class ContraRec(SequenceModelBase):
                                      self.mask_token)
             aug2 = augment_sequences(r2, item_seq, self.beta_a, self.beta_b,
                                      self.mask_token)
-            # device-generated ids: no host plan exists; the sorted-segment
-            # kernel backs their gradients (FAST_SCATTER auto)
-            emb1 = self._encode(
-                self.item_emb(aug1, prefer_kernel_grad=True), lengths, train)
-            emb2 = self._encode(
-                self.item_emb(aug2, prefer_kernel_grad=True), lengths, train)
-            features = safe_l2norm(jnp.stack([emb1, emb2], axis=1))
+            # ONE [2B] encoder pass for both augmented views (the reference
+            # encodes each view separately, contrarec.py:104-111); every
+            # encoder op is batch-parallel, so rows match two separate
+            # passes.  Device-generated ids: no host plan exists; the
+            # sorted-segment kernel backs their gradients (FAST_SCATTER auto)
+            B = item_seq.shape[0]
+            both = jnp.concatenate([aug1, aug2], axis=0)
+            emb12 = self._encode(
+                self.item_emb(both, prefer_kernel_grad=True),
+                jnp.concatenate([lengths, lengths], axis=0), train)
+            features = safe_l2norm(
+                jnp.stack([emb12[:B], emb12[B:]], axis=1))
             out["loss"] = self.calculate_loss(user_emb, item) + \
                 self.gamma * contrarec_contra_loss(features, item, self.ccc_temp)
         return out

@@ -154,7 +154,23 @@ class IOCRec(SequenceModelBase):
         seq_len = jnp.sum(batch["hist_mask_list"], axis=-1).astype(jnp.int32)
         B, L = item_seq.shape
         D = self.embedding_dim
-        intention = self._intention_emb(item_seq, seq_len, train)  # [B,K,L,D]
+        if train:
+            # ONE [3B] encoder pass serves the main view + both augmented
+            # views (the reference runs three full encoder stacks per step,
+            # iocrec.py:79-104; batching them triples MXU occupancy at these
+            # small per-view shapes and drops two dispatches).  Every op in
+            # _intention_emb is batch-parallel, so rows are identical to
+            # three separate passes (pinned by test_iocrec_batch_concat).
+            rng = self.make_rng("dropout")
+            r1, r2 = jax.random.split(rng)
+            aug1 = augment_sequences(r1, item_seq, 3.0, 3.0, self.mask_token)
+            aug2 = augment_sequences(r2, item_seq, 3.0, 3.0, self.mask_token)
+            all_seq = jnp.concatenate([item_seq, aug1, aug2], axis=0)
+            all_len = jnp.concatenate([seq_len, seq_len, seq_len], axis=0)
+            intention3 = self._intention_emb(all_seq, all_len, train)
+            intention = intention3[:B]  # [B,K,L,D]
+        else:
+            intention = self._intention_emb(item_seq, seq_len, train)
         idx = jnp.clip(seq_len - 1, 0, L - 1)
         user_emb = jnp.take_along_axis(
             intention, idx[:, None, None, None].repeat(self.k_intention, 1)
@@ -184,12 +200,8 @@ class IOCRec(SequenceModelBase):
                 rec_loss = -jnp.mean(
                     jnp.take_along_axis(logp, item[:, None], axis=1))
 
-            rng = self.make_rng("dropout")
-            r1, r2 = jax.random.split(rng)
-            aug1 = augment_sequences(r1, item_seq, 3.0, 3.0, self.mask_token)
-            aug2 = augment_sequences(r2, item_seq, 3.0, 3.0, self.mask_token)
-            d1 = self._intention_emb(aug1, seq_len, train).reshape(B * self.k_intention, -1)
-            d2 = self._intention_emb(aug2, seq_len, train).reshape(B * self.k_intention, -1)
+            d1 = intention3[B:2 * B].reshape(B * self.k_intention, -1)
+            d2 = intention3[2 * B:].reshape(B * self.k_intention, -1)
             cl_loss = info_nce_loss(d1, d2, self.tao)
             out["loss"] = rec_loss + self.lamda * cl_loss
         return out

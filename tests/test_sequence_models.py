@@ -1,6 +1,7 @@
 """Sequence zoo: init + train step + learning signal on a small synthetic
 sequence batch (fast), with shape contracts for single/multi-interest."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -126,3 +127,58 @@ def test_sampled_softmax_loss(seq_batch, enc_dict):
     for _ in range(15):
         state, out = step(state, seq_batch, rng)
     assert float(out["loss"]) < loss0
+
+
+def test_iocrec_batch_concat_equivariance(seq_batch, enc_dict):
+    """The [3B] fused-view pass is only valid if _intention_emb is
+    batch-parallel: encoding a concatenated batch must equal concatenating
+    the encodings (train=False -> dropout off -> deterministic)."""
+    from rec_pangu_tpu.models.sequence.iocrec import IOCRec
+
+    model = get_model("IOCRec")(enc_dict=enc_dict, config=make_config())
+    tx = make_optimizer(1e-3, 1)
+    state = create_train_state(model, seq_batch, tx, jax.random.PRNGKey(0))
+
+    hist = seq_batch["hist_item_list"]
+    seq_len = seq_batch["hist_mask_list"].sum(-1).astype(np.int32)
+    half = B // 2
+    s1, s2 = hist[:half], hist[half:]
+    l1, l2 = seq_len[:half], seq_len[half:]
+
+    def enc(seq, lens):
+        return model.apply({"params": state.params}, jnp.asarray(seq),
+                           jnp.asarray(lens), False,
+                           method=IOCRec._intention_emb)
+
+    both = enc(np.concatenate([s1, s2]), np.concatenate([l1, l2]))
+    sep = jnp.concatenate([enc(s1, l1), enc(s2, l2)], axis=0)
+    np.testing.assert_allclose(np.asarray(both), np.asarray(sep),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_contrarec_batch_concat_equivariance(seq_batch, enc_dict):
+    """Same property for ContraRec's encoder (backs the [2B] fused
+    augmented-view pass), across all three encoder choices."""
+    from rec_pangu_tpu.models.sequence.contrarec import ContraRec
+
+    for encoder_name in ("BERT4Rec", "GRU4Rec", "Caser"):
+        model = get_model("ContraRec")(
+            enc_dict=enc_dict, config=make_config(encoder_name=encoder_name))
+        tx = make_optimizer(1e-3, 1)
+        state = create_train_state(model, seq_batch, tx, jax.random.PRNGKey(0))
+
+        hist = seq_batch["hist_item_list"]
+        lens = seq_batch["hist_mask_list"].sum(-1).astype(np.int32)
+        half = B // 2
+
+        def enc(seq, ln):
+            def run(mdl, s, l):
+                return mdl._encode(mdl.item_emb(jnp.asarray(s)),
+                                   jnp.asarray(l), False)
+            return model.apply({"params": state.params}, seq, ln, method=run)
+
+        both = enc(hist, lens)
+        sep = jnp.concatenate([enc(hist[:half], lens[:half]),
+                               enc(hist[half:], lens[half:])], axis=0)
+        np.testing.assert_allclose(np.asarray(both), np.asarray(sep),
+                                   rtol=1e-5, atol=1e-6)
