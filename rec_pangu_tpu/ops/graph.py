@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
-_BIG = jnp.int32(2**30)
+# Plain int (weak-typed in jnp ops): a module-level jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize-before-first-jax-call (tests/test_multihost.py).
+_BIG = 2**30
 
 
 def _session_graph_single(ids: jnp.ndarray, mask: jnp.ndarray):

@@ -159,10 +159,13 @@ def _adam_tile_kernel(starts_ref, hyper_ref, ids_hbm, rows_hbm, p_ref, m_ref,
     eps = hyper_ref[3]
     inv_b1c = hyper_ref[4]  # 1 / (1 - b1**t)
     inv_b2c = hyper_ref[5]  # 1 / (1 - b2**t)
-    mu = b1 * m_ref[:, :] + (1.0 - b1) * g
-    nu = b2 * v_ref[:, :] + (1.0 - b2) * (g * g)
-    m_out[:] = mu
-    v_out[:] = nu
+    # moments may be STORED bf16 (REC_PANGU_TPU_MOMENT_DTYPE=bf16 — halves
+    # the m/v HBM streams, the binding cost of this roofline-bound pass);
+    # all arithmetic stays f32
+    mu = b1 * m_ref[:, :].astype(jnp.float32) + (1.0 - b1) * g
+    nu = b2 * v_ref[:, :].astype(jnp.float32) + (1.0 - b2) * (g * g)
+    m_out[:] = mu.astype(m_out.dtype)
+    v_out[:] = nu.astype(v_out.dtype)
     # optax.scale_by_adam ordering: mu_hat / (sqrt(nu_hat) + eps)
     p_out[:] = p_ref[:, :] - lr * (mu * inv_b1c) / (
         jnp.sqrt(nu * inv_b2c) + eps)
@@ -191,7 +194,9 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
       ids_stream: ``stream_ids(plan, flat_ids, table.shape[0])`` — [K, 128].
       rows: [N, D] f32 cotangent d(loss)/d(gathered rows), batch order.
       table, mu, nu: [V_pad, D] current param and Adam moments
-        (V_pad a tile multiple — ``padded_rows``).
+        (V_pad a tile multiple — ``padded_rows``).  ``mu``/``nu`` may be
+        bf16 (their storage dtype is preserved in the outputs; the Adam
+        math runs f32 in-kernel) — see ``fused_update._moment_dtype``.
       hyper: f32[8] = [lr_t, b1, b2, eps, 1/(1-b1^t), 1/(1-b2^t), 0, 0].
       dense_grad_t: optional [D, V_pad] dense gradient (e.g. the streaming
         softmax-CE's transposed d_items) added tile-wise to the accumulated
@@ -268,6 +273,8 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
         ],
     )
     shape = jax.ShapeDtypeStruct((dim, num_rows), jnp.float32)
+    m_shape = jax.ShapeDtypeStruct((dim, num_rows), mu.dtype)
+    v_shape = jax.ShapeDtypeStruct((dim, num_rows), nu.dtype)
     # NO input_output_aliases: Mosaic serializes the output write-back with
     # the input fetches when a block streams in-place to the same HBM region
     # (measured 4.6 ms aliased vs 2.8 ms fresh-output for the 6-pass stream —
@@ -279,7 +286,7 @@ def planned_adam_update(plan, ids_stream, rows, table, mu, nu, hyper,
                           mode=_grad_mode(), t_tiles=t_tiles,
                           has_dense=has_dense),
         grid_spec=grid_spec,
-        out_shape=[shape, shape, shape],
+        out_shape=[shape, m_shape, v_shape],
         interpret=interpret,
     )(*operands)
     # .T back into [V, D]: a layout bitcast of the column-major storage

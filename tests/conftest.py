@@ -55,6 +55,11 @@ SEQ_SCHEMA = {
 }
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process bring-up etc.)")
+
+
 @pytest.fixture(scope="session")
 def ranking_df():
     return pd.read_csv(REF_RANKING_CSV)

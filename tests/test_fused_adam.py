@@ -360,3 +360,41 @@ def test_fused_adam_fits_uses_plan_tile():
     plan_at_32 = {"tile_starts": np.zeros(rows // 4096 + 1, dtype=np.int32)}
     assert fused_adam_fits(rows, 64)                      # own-tile fit: ok
     assert not fused_adam_fits(rows, 64, plan=plan_at_32)  # plan-tile: too big
+
+
+def test_bf16_moment_storage_tracks_f32(monkeypatch):
+    """REC_PANGU_TPU_MOMENT_DTYPE=bf16 stores mu/nu in bfloat16 (halving the
+    roofline-bound m/v HBM streams) while the in-kernel Adam math stays f32:
+    the updated table must track the f32-moment path to bf16 rounding, and
+    the moment outputs must keep their storage dtype."""
+    from rec_pangu_tpu.ops.kernels.fused_adam import (adam_hyper,
+                                                      planned_adam_update)
+    from rec_pangu_tpu.train.fused_update import _moment_dtype
+
+    monkeypatch.setenv("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
+    if jax.default_backend() == "cpu":
+        monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    assert _moment_dtype() == jnp.bfloat16
+
+    rng = np.random.default_rng(1)
+    V, D, N = 4096, 32, 2048
+    ids_np = rng.integers(0, V, (N,), dtype=np.int64)
+    plan = {k: jnp.asarray(v) for k, v in make_sort_plan(ids_np, V).items()}
+    ids_stream = stream_ids(plan, jnp.asarray(ids_np, jnp.int32), V)
+    rows = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    p0 = jnp.asarray(rng.standard_normal((V, D)), jnp.float32) * 0.01
+
+    p32, mu32, nu32 = p0, jnp.zeros_like(p0), jnp.zeros_like(p0)
+    p16 = p0
+    mu16 = jnp.zeros_like(p0, dtype=jnp.bfloat16)
+    nu16 = jnp.zeros_like(p0, dtype=jnp.bfloat16)
+    for t in (1, 2, 3):
+        hyper = adam_hyper(jnp.asarray(t, jnp.int32), 1e-3)
+        p32, mu32, nu32 = planned_adam_update(plan, ids_stream, rows, p32,
+                                              mu32, nu32, hyper)
+        p16, mu16, nu16 = planned_adam_update(plan, ids_stream, rows, p16,
+                                              mu16, nu16, hyper)
+    assert mu16.dtype == jnp.bfloat16 and nu16.dtype == jnp.bfloat16
+    # per-step update magnitude is ~lr; three steps of bf16 moment rounding
+    # must stay well inside one lr of drift
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=1e-4)
