@@ -21,6 +21,7 @@ on production-shaped synthetic workloads:
   sequence:    batch 1024, len 50, 1M-item vocab, dim 64
 """
 import json
+import os
 import sys
 import time
 
@@ -43,11 +44,11 @@ BASELINE_EXAMPLES_PER_S = 16_883.0  # DeepFM torch-cpu (scripts/baseline_torch.p
 # (round-1 BASELINE.md numbers were measured a few % higher), so the floor is
 # the latest in-session sweep, not the best-ever number.
 EXPECTED = {
-    "DeepFM": 1_226_000,
-    "WDL": 861_000,
-    "MMOE": 1_163_000,
-    "SASRec": 41_400,
-    "GRU4Rec": 55_400,
+    "DeepFM": 1_680_000,  # r03, bf16 moments (1,680,886 measured)
+    "WDL": 1_076_000,
+    "MMOE": 1_603_000,
+    "SASRec": 41_900,
+    "GRU4Rec": 58_700,
     "IOCRec": 6_600,
     "SRGNN": 35_500,
 }
@@ -192,6 +193,15 @@ def selftest():
 def main():
     if "--selftest" in sys.argv:
         return selftest()
+    # Production bench config: store the fused tables' Adam moments in bf16
+    # (REC_PANGU_TPU_MOMENT_DTYPE) — the fused Adam pass is HBM-roofline-
+    # bound and this removes a third of its traffic.  Measured A/B at these
+    # shapes (scripts/exp_moment_dtype.py): DeepFM 1.557M -> 1.673M ex/s,
+    # WDL +6%, GRU4Rec +4%; quality parity: tests/test_fused_adam.py (3-step
+    # drift bound) + scripts/exp_moment_quality.py (planted-task held-out
+    # AUC 0.6315 vs 0.6316 f32).  Export REC_PANGU_TPU_MOMENT_DTYPE=f32 to
+    # bench the default.
+    os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
     from rec_pangu_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()  # relay compiles are bursty; reuse executables
@@ -227,7 +237,6 @@ def main():
                 f"{name}: {eps:,.0f} ex/s is >{REGRESSION_TOLERANCE:.0%} "
                 f"below the recorded {exp:,.0f}")
 
-    import os
     if os.environ.get("REC_PANGU_TPU_BENCH_NO_GUARD"):
         # different hardware: the EXPECTED floors don't apply — report only
         _log(f"[bench] guard disabled; would-be failures: {failures}")
