@@ -107,10 +107,35 @@ def _pos_max(user_embs, items, pos):
     return jnp.max(scores, axis=-1), jnp.argmax(scores, axis=-1)
 
 
+def _use_multimax_kernel(user_embs) -> bool:
+    """Route the K-max CE through the Pallas kernels (ops/kernels/multimax_ce)
+    when on TPU (or interpret mode) and the shapes tile — the XLA scan
+    materializes K [B, C] logit tensors per chunk in HBM and is ~4x slower at
+    the bench shape (docs/perf_notes.md §5)."""
+    import os
+
+    from .kernels.embedding_grad import _interpret
+    from .kernels.multimax_ce import multimax_kernel_ok
+
+    flag = os.environ.get("REC_PANGU_TPU_MULTIMAX_KERNEL", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    if jax.default_backend() == "cpu" and not _interpret():
+        return flag in ("1", "on", "true")  # explicit ask: still try (tests)
+    b, k, d = user_embs.shape
+    return multimax_kernel_ok(b, k, d)
+
+
 def _multimax_fwd(user_embs, items, pos_item):
     items_p, v, v_pad = _pad_items(items)
     pos = pos_item.reshape(-1)
-    lse = _multimax_lse(user_embs, items_p, v, v_pad)
+    if _use_multimax_kernel(user_embs):
+        from .kernels.embedding_grad import _interpret
+        from .kernels.multimax_ce import multimax_lse
+
+        lse = multimax_lse(user_embs, items_p, v, interpret=_interpret())
+    else:
+        lse = _multimax_lse(user_embs, items_p, v, v_pad)
     z_pos, _ = _pos_max(user_embs, items, pos)
     loss = jnp.mean(lse - z_pos)
     return loss, (user_embs, items, pos, lse)
@@ -119,9 +144,23 @@ def _multimax_fwd(user_embs, items, pos_item):
 def _multimax_bwd(res, g):
     user_embs, items, pos, lse = res
     items_p, v, v_pad = _pad_items(items)
-    chunks = items_p.reshape(v_pad // CHUNK_V, CHUNK_V, -1)
     b, K, d = user_embs.shape
     scale = g / b
+    if _use_multimax_kernel(user_embs):
+        from .kernels.embedding_grad import _interpret
+        from .kernels.multimax_ce import multimax_grads
+
+        du, d_items_p = multimax_grads(user_embs, items_p, lse, v,
+                                       interpret=_interpret())
+        d_items = d_items_p[:v]
+        z_pos, ks_pos = _pos_max(user_embs, items, pos)
+        pos_rows = jnp.take(items, pos, axis=0)
+        onehot_k = jax.nn.one_hot(ks_pos, K, dtype=jnp.float32)
+        du = (du - onehot_k[..., None] * pos_rows[:, None, :]) * scale
+        u_star = jnp.einsum("bk,bkd->bd", onehot_k, user_embs)
+        d_items = (d_items * scale).at[pos].add(-u_star * scale)
+        return du.astype(user_embs.dtype), d_items.astype(items.dtype), None
+    chunks = items_p.reshape(v_pad // CHUNK_V, CHUNK_V, -1)
 
     def step(d_user, xs):
         idx, chunk = xs

@@ -61,8 +61,6 @@ def time_step(step, st, reps=10):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-print("full step:", round(time_step(train_step, state), 1), "ms", flush=True)
-
 # ---- K-max CE alone (fwd + bwd) -------------------------------------------
 users = jnp.asarray(rng.standard_normal((B, K, D)), jnp.float32) * 0.1
 items = jnp.asarray(rng.standard_normal((V + 1, D)), jnp.float32) * 0.1
@@ -135,3 +133,7 @@ def lookup_grad(params):
 
 print("[3B] item lookup fwd+bwd:", round(timeit(lookup_grad, state.params), 1),
       "ms", flush=True)
+
+# full step LAST: make_train_step donates the state, deleting the param
+# buffers the piece profiles above close over
+print("full step:", round(time_step(train_step, state), 1), "ms", flush=True)
