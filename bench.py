@@ -190,9 +190,62 @@ def selftest():
         sys.exit(1)
 
 
+PLANS = [
+    ("DeepFM", lambda: bench_ranking("DeepFM")),
+    ("WDL", lambda: bench_ranking("WDL")),
+    ("MMOE", lambda: bench_ranking("MMOE", num_task=2)),
+    ("SASRec", lambda: bench_sequence("SASRec")),
+    ("GRU4Rec", lambda: bench_sequence("GRU4Rec")),
+    ("IOCRec", lambda: bench_sequence("IOCRec", steps=8)),
+    ("SRGNN", lambda: bench_sequence("SRGNN")),
+]
+
+# Per-leg wall-clock cap for the subprocess watchdog below.  The tunneled
+# TPU's relay compiles are bursty and have been observed to WEDGE outright
+# (a request that never returns) — one stuck leg must not hang the whole
+# driver bench.
+LEG_TIMEOUT_S = int(os.environ.get("REC_PANGU_TPU_BENCH_LEG_TIMEOUT", "1500"))
+
+
+def run_one(name: str):
+    """--one NAME: run a single suite leg in this process and print one JSON
+    line {name, eps, fused} (the watchdog parent parses it)."""
+    os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
+    from rec_pangu_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    fn = dict(PLANS)[name]
+    eps, fused = fn()
+    print(json.dumps({"name": name, "eps": eps, "fused": fused}), flush=True)
+
+
+def _run_leg_watchdogged(name: str):
+    """Run one leg in a subprocess with a timeout; returns (eps, fused) or
+    raises RuntimeError with the failure description."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, timeout=LEG_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(f"timed out after {LEG_TIMEOUT_S}s (wedged relay?)")
+    if proc.stderr:
+        for line in proc.stderr.strip().splitlines():
+            if "WARNING" not in line:
+                _log(f"[bench:{name}] {line}")
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(f"subprocess failed rc={proc.returncode}")
+    out = json.loads(lines[-1])
+    return float(out["eps"]), bool(out["fused"])
+
+
 def main():
     if "--selftest" in sys.argv:
         return selftest()
+    if "--one" in sys.argv:
+        return run_one(sys.argv[sys.argv.index("--one") + 1])
     # Production bench config: store the fused tables' Adam moments in bf16
     # (REC_PANGU_TPU_MOMENT_DTYPE) — the fused Adam pass is HBM-roofline-
     # bound and this removes a third of its traffic.  Measured A/B at these
@@ -202,26 +255,20 @@ def main():
     # AUC 0.6315 vs 0.6316 f32).  Export REC_PANGU_TPU_MOMENT_DTYPE=f32 to
     # bench the default.
     os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
-    from rec_pangu_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()  # relay compiles are bursty; reuse executables
 
     suite = {}
     failures = []
 
-    plans = [
-        ("DeepFM", lambda: bench_ranking("DeepFM")),
-        ("WDL", lambda: bench_ranking("WDL")),
-        ("MMOE", lambda: bench_ranking("MMOE", num_task=2)),
-        ("SASRec", lambda: bench_sequence("SASRec")),
-        ("GRU4Rec", lambda: bench_sequence("GRU4Rec")),
-        ("IOCRec", lambda: bench_sequence("IOCRec", steps=8)),
-        ("SRGNN", lambda: bench_sequence("SRGNN")),
-    ]
-    for name, fn in plans:
+    for name, fn in PLANS:
         t0 = time.perf_counter()
         try:
-            eps, fused = fn()
+            if os.environ.get("REC_PANGU_TPU_BENCH_INPROC"):
+                from rec_pangu_tpu.utils import enable_compilation_cache
+
+                enable_compilation_cache()
+                eps, fused = fn()
+            else:
+                eps, fused = _run_leg_watchdogged(name)
         except Exception as e:  # record, keep benching the rest
             _log(f"[bench] {name} FAILED: {type(e).__name__}: {e}")
             failures.append(f"{name}: crashed: {e}")
