@@ -259,7 +259,13 @@ def main():
     suite = {}
     failures = []
 
+    consecutive_timeouts = 0
     for name, fn in PLANS:
+        if consecutive_timeouts >= 2:
+            # circuit breaker: two wedged legs in a row means the relay is
+            # down, not the models — don't burn LEG_TIMEOUT_S x 5 more
+            failures.append(f"{name}: skipped (relay wedged)")
+            continue
         t0 = time.perf_counter()
         try:
             if os.environ.get("REC_PANGU_TPU_BENCH_INPROC"):
@@ -269,9 +275,12 @@ def main():
                 eps, fused = fn()
             else:
                 eps, fused = _run_leg_watchdogged(name)
+            consecutive_timeouts = 0
         except Exception as e:  # record, keep benching the rest
             _log(f"[bench] {name} FAILED: {type(e).__name__}: {e}")
             failures.append(f"{name}: crashed: {e}")
+            if "timed out" in str(e):
+                consecutive_timeouts += 1
             continue
         suite[name] = round(eps, 1)
         _log(f"[bench] {name}: {eps:,.0f} ex/s/chip (fused={fused}, "

@@ -345,3 +345,22 @@ def test_multimax_pallas_kernel_matches_scan(monkeypatch):
     for a, b in zip(g_k, g_scan):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_multimax_kernel_gate_covers_bench_shape(monkeypatch):
+    """The auto gate must route the production IOCRec shape (B=1024, K=4,
+    D=64) to the Pallas kernels, and REC_PANGU_TPU_MULTIMAX_KERNEL=0 must
+    force the scan fallback."""
+    from rec_pangu_tpu.ops.kernels.multimax_ce import (_choose_tile,
+                                                       multimax_kernel_ok)
+    from rec_pangu_tpu.ops.softmax_ce import _use_multimax_kernel
+
+    assert multimax_kernel_ok(1024, 4, 64)
+    # v_pad for V=1M at CHUNK_V=8192 padding
+    assert _choose_tile(1024, 123 * 8192) == 512
+    u = jnp.zeros((1024, 4, 64), jnp.float32)
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("REC_PANGU_TPU_MULTIMAX_KERNEL", "auto")
+    assert _use_multimax_kernel(u)
+    monkeypatch.setenv("REC_PANGU_TPU_MULTIMAX_KERNEL", "0")
+    assert not _use_multimax_kernel(u)
