@@ -49,7 +49,7 @@ EXPECTED = {
     "MMOE": 1_603_000,
     "SASRec": 41_900,
     "GRU4Rec": 58_700,
-    "IOCRec": 6_600,
+    "IOCRec": 8_200,  # r03, Pallas K-max CE (8,224 measured)
     "SRGNN": 35_500,
 }
 REGRESSION_TOLERANCE = 0.15
