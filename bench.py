@@ -119,8 +119,9 @@ def bench_ranking(name, num_task=1, steps=30):
     fused = train_step is not None
     if not fused:
         train_step = make_train_step(state.batch_stats is not None)
-    dt = _time_steps(train_step, state, batch, jax.random.PRNGKey(1),
-                     steps=steps)
+    from rec_pangu_tpu.train.steps import make_step_rng
+
+    dt = _time_steps(train_step, state, batch, make_step_rng(1), steps=steps)
     return BATCH / dt, fused
 
 
@@ -153,8 +154,9 @@ def bench_sequence(name, steps=20, extra_config=None):
     fused = train_step is not None
     if not fused:
         train_step = make_train_step(state.batch_stats is not None)
-    dt = _time_steps(train_step, state, batch, jax.random.PRNGKey(1),
-                     steps=steps)
+    from rec_pangu_tpu.train.steps import make_step_rng
+
+    dt = _time_steps(train_step, state, batch, make_step_rng(1), steps=steps)
     return SEQ_B / dt, fused
 
 
@@ -169,25 +171,34 @@ def selftest():
     repo = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["REC_PANGU_TPU_TEST_BACKEND"] = "device"
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_kernels.py",
-         "tests/test_fused_adam.py", "-q", "--no-header"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=3600)
-    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
-    summary = lines[-1] if lines else "(no output)"
+    tests = ["tests/test_kernels.py", "tests/test_fused_adam.py"]
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", *tests, "-q", "--no-header"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=3600)
+        passed, rc = proc.returncode == 0, proc.returncode
+        lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+        summary = lines[-1] if lines else "(no output)"
+        tail = proc.stdout[-4000:]
+    except subprocess.TimeoutExpired:
+        # a wedged relay must not leave a STALE CHIPTEST.json from a previous
+        # round silently standing in for this one
+        passed, rc = False, 124
+        summary = "timeout: chip tests exceeded 3600s (wedged relay?)"
+        tail = summary
     result = {
         "backend": "device",
-        "tests": ["tests/test_kernels.py", "tests/test_fused_adam.py"],
-        "passed": proc.returncode == 0,
+        "tests": tests,
+        "passed": passed,
         "summary": summary,
     }
     with open(os.path.join(repo, "CHIPTEST.json"), "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")
     print(json.dumps(result))
-    if proc.returncode != 0:
-        _log(proc.stdout[-4000:])
-        sys.exit(1)
+    if not passed:
+        _log(tail)
+        sys.exit(1 if rc != 124 else 124)
 
 
 PLANS = [
@@ -207,10 +218,19 @@ PLANS = [
 LEG_TIMEOUT_S = int(os.environ.get("REC_PANGU_TPU_BENCH_LEG_TIMEOUT", "1500"))
 
 
+def _bench_env_defaults():
+    """Production bench config (see main() for the measured A/Bs):
+    bf16 Adam-moment storage, TPU-native RBG step rng, bf16 MXU inputs for
+    the streamed K-max CE."""
+    os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
+    os.environ.setdefault("REC_PANGU_TPU_RNG_IMPL", "rbg")
+    os.environ.setdefault("REC_PANGU_TPU_CE_COMPUTE", "bf16")
+
+
 def run_one(name: str):
     """--one NAME: run a single suite leg in this process and print one JSON
     line {name, eps, fused} (the watchdog parent parses it)."""
-    os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
+    _bench_env_defaults()
     from rec_pangu_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -219,9 +239,14 @@ def run_one(name: str):
     print(json.dumps({"name": name, "eps": eps, "fused": fused}), flush=True)
 
 
+class LegTimeout(RuntimeError):
+    """A bench leg's subprocess hit the watchdog timeout — an environmental
+    relay wedge, classified by TYPE (not by substring-matching str(e))."""
+
+
 def _run_leg_watchdogged(name: str):
     """Run one leg in a subprocess with a timeout; returns (eps, fused) or
-    raises RuntimeError with the failure description."""
+    raises LegTimeout/RuntimeError with the failure description."""
     import subprocess
 
     try:
@@ -229,7 +254,7 @@ def _run_leg_watchdogged(name: str):
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True, text=True, timeout=LEG_TIMEOUT_S)
     except subprocess.TimeoutExpired:
-        raise RuntimeError(f"timed out after {LEG_TIMEOUT_S}s (wedged relay?)")
+        raise LegTimeout(f"timed out after {LEG_TIMEOUT_S}s (wedged relay?)")
     if proc.stderr:
         for line in proc.stderr.strip().splitlines():
             if "WARNING" not in line:
@@ -253,8 +278,9 @@ def main():
     # WDL +6%, GRU4Rec +4%; quality parity: tests/test_fused_adam.py (3-step
     # drift bound) + scripts/exp_moment_quality.py (planted-task held-out
     # AUC 0.6315 vs 0.6316 f32).  Export REC_PANGU_TPU_MOMENT_DTYPE=f32 to
-    # bench the default.
-    os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
+    # bench the default.  RNG_IMPL=rbg and CE_COMPUTE=bf16 likewise (r04:
+    # scripts/exp_iocrec_local.py, scripts/exp_ce_dtype.py).
+    _bench_env_defaults()
 
     suite = {}
     failures = []
@@ -277,17 +303,18 @@ def main():
                 eps, fused = fn()
             else:
                 eps, fused = _run_leg_watchdogged(name)
+        except LegTimeout as e:
+            # a leg that never returns is the RELAY wedging (observed: the
+            # same cached program runs in 30 s or hangs 90+ min in
+            # back-to-back sessions) — report it, but don't turn an
+            # environment outage into a perf-regression failure
+            _log(f"[bench] {name} FAILED: {e}")
+            timeouts.append(name)
+            n_timed_out += 1
+            continue
         except Exception as e:  # record, keep benching the rest
             _log(f"[bench] {name} FAILED: {type(e).__name__}: {e}")
-            if "timed out" in str(e):
-                # a leg that never returns is the RELAY wedging (observed:
-                # the same cached program runs in 30 s or hangs 90+ min in
-                # back-to-back sessions) — report it, but don't turn an
-                # environment outage into a perf-regression failure
-                timeouts.append(name)
-                n_timed_out += 1
-            else:
-                failures.append(f"{name}: crashed: {e}")
+            failures.append(f"{name}: crashed: {e}")
             continue
         suite[name] = round(eps, 1)
         _log(f"[bench] {name}: {eps:,.0f} ex/s/chip (fused={fused}, "
@@ -316,6 +343,11 @@ def main():
     }))
     if failures:
         sys.exit(1)
+    if not suite or "DeepFM" not in suite:
+        # a fully-wedged run (every leg timed out) must not read as passing:
+        # exit with a DISTINCT code so consumers keying on rc see no-data
+        _log("[bench] no usable legs (headline missing) — exiting 75")
+        sys.exit(75)  # EX_TEMPFAIL: environmental, retryable
 
 
 if __name__ == "__main__":

@@ -39,6 +39,21 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30  # finite -inf: exp underflows to exactly 0
 
 
+def _compute_dtype():
+    """MXU input dtype for the kernel's dot_generals (accumulation is always
+    f32 via preferred_element_type).  The K-max CE at the bench shape is
+    MXU-f32-bound (~1.6 TFLOP/step vs ~50 TF/s f32 peak); bf16 inputs run
+    the same contractions at the bf16 MXU rate (~4x).  Casting happens
+    in-VMEM (VPU) — HBM traffic is unchanged.  Default f32 for bit-parity;
+    REC_PANGU_TPU_CE_COMPUTE=bf16 opts in (the bench does; quality A/B in
+    scripts/exp_ce_dtype.py)."""
+    import os
+
+    return (jnp.bfloat16
+            if os.environ.get("REC_PANGU_TPU_CE_COMPUTE", "f32") == "bf16"
+            else jnp.float32)
+
+
 def _choose_tile(b: int, v_pad: int) -> int:
     """Largest item-tile (multiple of 128, <= 2048) keeping the [B, T] logit
     scratch around ~2 MB so forward+backward fit VMEM comfortably."""
@@ -51,7 +66,7 @@ def _choose_tile(b: int, v_pad: int) -> int:
 
 
 def _fwd_kernel(u_ref, items_ref, lse_ref, m_ref, s_ref, *, k, tile_v,
-                n_tiles, valid_v):
+                n_tiles, valid_v, cdt):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -59,11 +74,12 @@ def _fwd_kernel(u_ref, items_ref, lse_ref, m_ref, s_ref, *, k, tile_v,
         m_ref[:] = jnp.full_like(m_ref, _NEG)
         s_ref[:] = jnp.zeros_like(s_ref)
 
-    tile = items_ref[:, :]  # [T, D]; contract D on both sides -> [B, T]
-    z = jax.lax.dot_general(u_ref[0], tile, (((1,), (1,)), ((), ())),
+    tile = items_ref[:, :].astype(cdt)  # [T, D]; contract D on both -> [B, T]
+    z = jax.lax.dot_general(u_ref[0].astype(cdt), tile, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     for i in range(1, k):
-        zi = jax.lax.dot_general(u_ref[i], tile, (((1,), (1,)), ((), ())),
+        zi = jax.lax.dot_general(u_ref[i].astype(cdt), tile,
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         z = jnp.maximum(z, zi)
     col = t * tile_v + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
@@ -81,19 +97,20 @@ def _fwd_kernel(u_ref, items_ref, lse_ref, m_ref, s_ref, *, k, tile_v,
 
 
 def _bwd_kernel(u_ref, items_ref, lse_ref, du_ref, di_ref, *,
-                k, tile_v, n_tiles, valid_v):
+                k, tile_v, n_tiles, valid_v, cdt):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
         du_ref[:] = jnp.zeros_like(du_ref)
 
-    tile = items_ref[:, :]          # [T, D]; contract D on both -> [B, T]
-    z = jax.lax.dot_general(u_ref[0], tile, (((1,), (1,)), ((), ())),
+    tile = items_ref[:, :].astype(cdt)  # [T, D]; contract D on both -> [B, T]
+    z = jax.lax.dot_general(u_ref[0].astype(cdt), tile, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     ks = jnp.zeros(z.shape, jnp.int32)
     for i in range(1, k):
-        zi = jax.lax.dot_general(u_ref[i], tile, (((1,), (1,)), ((), ())),
+        zi = jax.lax.dot_general(u_ref[i].astype(cdt), tile,
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         upd = zi > z
         z = jnp.where(upd, zi, z)
@@ -103,13 +120,14 @@ def _bwd_kernel(u_ref, items_ref, lse_ref, du_ref, di_ref, *,
 
     di = None
     for i in range(k):
-        mk = jnp.where(ks == i, p, 0.0)
+        mk = jnp.where(ks == i, p, 0.0).astype(cdt)
         # du_k += mk @ tile           [B, T] x [T, D]
         du_ref[i] += jax.lax.dot_general(
             mk, tile, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # d_tile += mk^T @ u_k        [T, B] x [B, D]
-        d = jax.lax.dot_general(mk, u_ref[i], (((0,), (0,)), ((), ())),
+        d = jax.lax.dot_general(mk, u_ref[i].astype(cdt),
+                                (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         di = d if di is None else di + d
     di_ref[:] = di
@@ -125,10 +143,11 @@ def _grid_call(u_t, items_p, valid_v, tile_v, interpret, lse=None):
                           memory_space=pltpu.VMEM)
     items_spec = pl.BlockSpec((tile_v, d), lambda t: (t, 0),
                               memory_space=pltpu.VMEM)
+    cdt = _compute_dtype()
     if lse is None:
         return pl.pallas_call(
             functools.partial(_fwd_kernel, k=k, tile_v=tile_v,
-                              n_tiles=n_tiles, valid_v=valid_v),
+                              n_tiles=n_tiles, valid_v=valid_v, cdt=cdt),
             grid=(n_tiles,),
             in_specs=[u_spec, items_spec],
             out_specs=pl.BlockSpec((b, 1), lambda t: (0, 0),
@@ -142,7 +161,7 @@ def _grid_call(u_t, items_p, valid_v, tile_v, interpret, lse=None):
         )(u_t, items_p)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, k=k, tile_v=tile_v,
-                          n_tiles=n_tiles, valid_v=valid_v),
+                          n_tiles=n_tiles, valid_v=valid_v, cdt=cdt),
         grid=(n_tiles,),
         in_specs=[u_spec, items_spec,
                   pl.BlockSpec((b, 1), lambda t: (0, 0),
@@ -181,8 +200,22 @@ def multimax_grads(user_embs: jnp.ndarray, items_p: jnp.ndarray,
     return jnp.transpose(du, (1, 0, 2)), d_items
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave ~4 MB headroom in 16 MB VMEM
+
+
 def multimax_kernel_ok(b: int, k: int, d: int) -> bool:
-    """Shape gate: f32-tileable operands and a [B, T] scratch that fits at
-    the minimum 128-item tile."""
-    return (b % 8 == 0 and d % 8 == 0 and k >= 1
-            and b * 128 * 4 <= 2 * 1024 * 1024)
+    """Shape gate: f32-tileable operands AND total VMEM residency within
+    budget.  The backward keeps the whole [K, B, D] ``u_t`` and ``du``
+    blocks in VMEM plus ~3 [B, T] temporaries (z/p/mk) and 2 [T, D] item
+    tiles — bounding only the [B, T] scratch (the old gate) admitted shapes
+    like B=4096, K=8, D=256 that need >32 MB and fail Mosaic compilation."""
+    if not (b % 8 == 0 and d % 8 == 0 and k >= 1
+            and b * 128 * 4 <= 2 * 1024 * 1024):
+        return False
+    # the tile _choose_tile would pick in the best case (alignment can only
+    # shrink it, which shrinks residency too)
+    t = 2048
+    while t > 128 and b * t * 4 > 2 * 1024 * 1024:
+        t //= 2
+    resident = 2 * k * b * d * 4 + 3 * b * t * 4 + 2 * t * d * 4
+    return resident <= _VMEM_BUDGET

@@ -120,8 +120,13 @@ def _use_multimax_kernel(user_embs) -> bool:
     flag = os.environ.get("REC_PANGU_TPU_MULTIMAX_KERNEL", "auto")
     if flag in ("0", "off", "false"):
         return False
-    if jax.default_backend() == "cpu" and not _interpret():
-        return flag in ("1", "on", "true")  # explicit ask: still try (tests)
+    backend = jax.default_backend()
+    if backend == "cpu" and not _interpret():
+        # a TPU kernel only runs on cpu under interpret mode — even an
+        # explicit =1 without REC_PANGU_TPU_PALLAS_INTERPRET cannot lower
+        return False
+    if backend not in ("cpu", "tpu", "axon"):
+        return False  # gpu etc.: no TPU lowering
     b, k, d = user_embs.shape
     return multimax_kernel_ok(b, k, d)
 
