@@ -16,6 +16,7 @@ device-sharded variant.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, List
 
@@ -54,7 +55,11 @@ def make_topn_scorer(item_embs: jnp.ndarray, topn: int,
 
 def merge_multi_interest(ids: np.ndarray, scores: np.ndarray, topn: int) -> List[int]:
     """Merge K interest result lists for one user: sort by score desc, dedup,
-    drop padding item 0, keep topn (parity: evaluate.py:77-86)."""
+    drop padding item 0, keep topn (parity: evaluate.py:77-86).
+
+    Reference-shaped oracle; the batch path uses the jitted
+    ``batched_merge_multi_interest`` (identical output, pinned by
+    tests/test_metrics.py)."""
     flat = sorted(zip(ids.reshape(-1).tolist(), scores.reshape(-1).tolist()),
                   key=lambda t: t[1], reverse=True)
     seen: List[int] = []
@@ -66,6 +71,39 @@ def merge_multi_interest(ids: np.ndarray, scores: np.ndarray, topn: int) -> List
             if len(seen) >= topn:
                 break
     return seen
+
+
+@functools.partial(jax.jit, static_argnames=("topn",))
+def batched_merge_multi_interest(ids: jnp.ndarray, scores: jnp.ndarray,
+                                 topn: int):
+    """Device-side merge of K interest result lists for a whole batch.
+
+    ``ids``/``scores`` are [B, K*N].  Returns (merged [B, topn] ids padded
+    with 0, counts [B]).  Semantics match ``merge_multi_interest`` exactly:
+    stable sort by score desc (ties keep flat order, like Python's stable
+    ``sorted``), drop id 0, dedup keeping the highest-scored occurrence.
+    Replaces the per-user host loop that was O(B) Python at eval time."""
+    b, n = ids.shape
+    # stable desc sort; id-0 entries sink to the bottom
+    key = jnp.where(ids == 0, -jnp.inf, scores.astype(jnp.float32))
+    order = jnp.argsort(-key, axis=1, stable=True)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    # first-occurrence-in-score-order mask: stable id-sort groups duplicates
+    # while preserving score order inside each group
+    ord2 = jnp.argsort(ids_s, axis=1, stable=True)
+    ids_g = jnp.take_along_axis(ids_s, ord2, axis=1)
+    first_g = jnp.concatenate(
+        [jnp.ones((b, 1), bool), ids_g[:, 1:] != ids_g[:, :-1]], axis=1)
+    rows = jnp.arange(b)[:, None]
+    keep = jnp.zeros((b, n), bool).at[rows, ord2].set(first_g)
+    keep = keep & (ids_s != 0)
+    pos = jnp.cumsum(keep, axis=1) - 1
+    valid = keep & (pos < topn)
+    slot = jnp.where(valid, pos, topn)            # invalid -> overflow slot
+    merged = jnp.zeros((b, topn + 1), ids.dtype).at[rows, slot].set(
+        jnp.where(valid, ids_s, 0), mode="drop")[:, :topn]
+    counts = jnp.minimum(jnp.sum(keep, axis=1), topn)
+    return merged, counts
 
 
 def get_recall_predict(model, variables, test_loader, topn: int = 200,
@@ -112,9 +150,12 @@ def get_recall_predict(model, variables, test_loader, topn: int = 200,
         else:
             B, K, D = user_embs.shape
             scores, ids = scorer(user_embs.reshape(B * K, D))
-            scores, ids = np.asarray(scores).reshape(B, K, -1), np.asarray(ids).reshape(B, K, -1)
+            merged, counts = batched_merge_multi_interest(
+                jnp.asarray(ids).reshape(B, -1),
+                jnp.asarray(scores).reshape(B, -1), topn)
+            merged, counts = np.asarray(merged), np.asarray(counts)
             for i, u in enumerate(users):
-                preds[str(u)] = merge_multi_interest(ids[i], scores[i], topn)
+                preds[str(u)] = merged[i, :counts[i]].tolist()
     return preds
 
 

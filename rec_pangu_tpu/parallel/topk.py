@@ -58,6 +58,55 @@ def distributed_topk(mesh: Mesh, user_embs: jnp.ndarray, item_embs: jnp.ndarray,
     return fn(user_embs, item_embs)
 
 
+@lru_cache(maxsize=32)
+def _build_masked_topk_fn(mesh: Mesh, k: int, shard_rows: int, num_valid: int):
+    def local_score(u, items, seen):
+        # items: this device's [V/P, D] shard; seen: [B, S] GLOBAL item ids
+        # (pads point past the corpus).  Each shard filters the slice of the
+        # seen set that falls inside its row range via the same sentinel-
+        # column scatter as the single-device _masked_topk, so the two-stage
+        # merge ranks exactly the unseen items.
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        row_ids = idx * shard_rows + jnp.arange(shard_rows)
+        scores = jnp.where(row_ids[None, :] >= num_valid, -jnp.inf, scores)
+        local_seen = seen - idx * shard_rows
+        local_seen = jnp.where((local_seen >= 0) & (local_seen < shard_rows),
+                               local_seen, shard_rows)  # sentinel column
+        scores = jnp.pad(scores, ((0, 0), (0, 1)))
+        rows = jnp.arange(u.shape[0])[:, None]
+        scores = scores.at[rows, local_seen].set(-jnp.inf)[:, :-1]
+        s, i = jax.lax.top_k(scores, min(k, shard_rows))
+        i = i + idx * shard_rows
+        s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, MODEL_AXIS, axis=1, tiled=True)
+        s_fin, pos = jax.lax.top_k(s_all, k)
+        return s_fin, jnp.take_along_axis(i_all, pos, axis=1)
+
+    return jax.jit(
+        jax.shard_map(
+            local_score, mesh=mesh,
+            in_specs=(P(), P(MODEL_AXIS, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def distributed_masked_topk(mesh: Mesh, user_embs: jnp.ndarray,
+                            item_embs: jnp.ndarray, seen: jnp.ndarray,
+                            k: int, num_valid: int | None = None):
+    """``distributed_topk`` with each user's ``seen`` item ids biased out
+    before ranking (GraphTrainer eval under a sharded item table).  ``seen``
+    is [B, S] global ids padded with any value >= num_valid."""
+    n_model = mesh.shape[MODEL_AXIS]
+    V = item_embs.shape[0]
+    shard_rows = V // n_model
+    fn = _build_masked_topk_fn(mesh, k, shard_rows,
+                               num_valid if num_valid is not None else V)
+    return fn(user_embs, item_embs, seen)
+
+
 def pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int = 0,
                     value: float = 0.0) -> jnp.ndarray:
     n = x.shape[axis]

@@ -32,7 +32,8 @@ from ..utils.logging import HAS_WANDB, logger, wandb
 from .ckpt import load_checkpoint, save_checkpoint
 from .optim import make_optimizer
 from .steps import (TrainState, create_train_state, make_eval_step,
-                    make_multi_step, make_train_step, strip_host_keys)
+                    make_multi_step, make_step_rng, make_train_step,
+                    strip_host_keys)
 
 
 class _BaseTrainer:
@@ -210,7 +211,7 @@ class _BaseTrainer:
         self._has_bs = self.state.batch_stats is not None
         self._train_step = make_train_step(self._has_bs)
         self._eval_step = make_eval_step(self._has_bs)
-        self._rng = jax.random.PRNGKey(seed + 1)
+        self._rng = make_step_rng(seed + 1)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
         logger.info(f"Model initialized: {n_params:,} parameters")
 
@@ -435,6 +436,11 @@ class RankTrainer(_BaseTrainer):
                 remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
                 logger.info(
                     f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+                if self.use_wandb:
+                    # per-batch loss stream (parity: model_pipeline.py:65-67),
+                    # sampled every log_rounds batches to avoid a device sync
+                    # per step
+                    wandb.log({"loss": loss})
             idx += 1
         for g in group:  # remainder when the loader ends mid-group
             g = self._put(g)
@@ -612,6 +618,10 @@ class SequenceTrainer(_BaseTrainer):
                     remaining = round(((elapsed / (idx + 1)) * (max_iter - idx + 1)) / 60, 2)
                     logger.info(
                         f"Iter {idx}/{max_iter} Remaining time:{remaining} min Loss:{round(loss, 4)}")
+                    if self.use_wandb:
+                        # per-batch loss stream (parity: model_pipeline.py:
+                        # 265-266), sampled every log_rounds batches
+                        wandb.log({"loss": loss})
                 idx += 1
             for g in group:  # remainder when the loader ends mid-group
                 g = self._put(g)
@@ -684,11 +694,13 @@ class GraphTrainer(_BaseTrainer):
         super().__init__(num_task=1, model_ckpt_dir=model_ckpt_dir)
 
     def fit(self, model, train_dataset, epoch: int = 10, lr: float = 1e-3,
-            device=None, batch_size: int = 1024, seed: int = 1029) -> None:
+            device=None, batch_size: int = 1024, seed: int = 1029,
+            mesh=None) -> None:
         os.makedirs(self.model_ckpt_dir, exist_ok=True)
         sample = train_dataset.sample(batch_size)
         steps_per_epoch = max(1, len(train_dataset) // batch_size)
-        self._build_state(model, sample, lr, steps_per_epoch, seed=seed)
+        self._build_state(model, sample, lr, steps_per_epoch, seed=seed,
+                          mesh=mesh)
         for i in range(1, epoch + 1):
             epoch_loss = 0.0
             for _ in range(steps_per_epoch):
@@ -731,12 +743,31 @@ class GraphTrainer(_BaseTrainer):
         pad = (-len(users)) % chunk
         users_p = np.pad(users, (0, pad))
         seen_p = np.pad(seen, ((0, pad), (0, 0)), constant_values=V)
-        tops = [
-            np.asarray(_masked_topk(user_embs, item_embs,
-                                    jnp.asarray(users_p[s : s + chunk]),
-                                    jnp.asarray(seen_p[s : s + chunk]), k))
-            for s in range(0, len(users_p), chunk)
-        ]
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            # sharded item table: two-stage distributed top-k with the
+            # per-shard seen-filter (parallel/topk.py) — same ranking as the
+            # single-device scatter, collectives ride the mesh
+            from ..parallel.mesh import MODEL_AXIS
+            from ..parallel.topk import distributed_masked_topk, pad_to_multiple
+
+            n_model = mesh.shape[MODEL_AXIS]
+            items_p = pad_to_multiple(jnp.asarray(item_embs), n_model, axis=0)
+            with mesh:
+                tops = [
+                    np.asarray(distributed_masked_topk(
+                        mesh, user_embs[jnp.asarray(users_p[s: s + chunk])],
+                        items_p, jnp.asarray(seen_p[s: s + chunk]), k,
+                        num_valid=V)[1])
+                    for s in range(0, len(users_p), chunk)
+                ]
+        else:
+            tops = [
+                np.asarray(_masked_topk(user_embs, item_embs,
+                                        jnp.asarray(users_p[s : s + chunk]),
+                                        jnp.asarray(seen_p[s : s + chunk]), k))
+                for s in range(0, len(users_p), chunk)
+            ]
         top = np.concatenate(tops, axis=0)[: len(users)]
         preds = {int(u): top[i].tolist() for i, u in enumerate(users)}
         return evaluate_recall(preds, test_gd, topN)

@@ -57,3 +57,58 @@ def test_graph_dataset_and_ngcf(rng):
         oracle[u] = [int(x) for x in top if int(x) not in seen]
     oracle_metrics = evaluate_recall(oracle, test_ds.test_gd, 20)
     assert metrics == oracle_metrics
+
+
+def test_graph_eval_distributed_matches_single(rng):
+    """GraphTrainer.evaluate_model under a model-sharded mesh must produce
+    exactly the single-device masked-top-k metrics (VERDICT r3 item 8)."""
+    from rec_pangu_tpu.parallel import make_mesh
+
+    train_df = make_df(rng)
+    test_df = make_df(rng, 100)
+    train_ds = GeneralGraphDataset(train_df, NUM_USER, NUM_ITEM, phase="train")
+    test_ds = GeneralGraphDataset(test_df, NUM_USER, NUM_ITEM, phase="test")
+    g = train_ds.generate_graph()
+    model = get_model("NGCF")(num_user=NUM_USER, num_item=NUM_ITEM,
+                              embedding_dim=8, hidden_size=[8, 8], g=g)
+    trainer = GraphTrainer()
+    trainer.fit(model, train_ds, epoch=1, lr=1e-2, batch_size=64)
+    single = trainer.evaluate_model(model, train_ds, test_ds, topN=20)
+    trainer.mesh = make_mesh(2, 4)  # 4-way sharded item table
+    dist = trainer.evaluate_model(model, train_ds, test_ds, topN=20)
+    assert dist == single
+
+
+def test_per_batch_wandb_loss_logging(tmp_path, ranking_df):
+    """With wandb configured, the train loop must stream a per-batch 'loss'
+    entry every log_rounds batches (parity: model_pipeline.py:65-67)."""
+    from rec_pangu_tpu.data.process_data import get_dataloader
+    from rec_pangu_tpu.train import RankTrainer
+    from tests.conftest import RANKING_SCHEMA
+
+    logged = []
+
+    class _Rec:
+        def init(self, **k):
+            pass
+
+        def log(self, d):
+            logged.append(dict(d))
+
+    import rec_pangu_tpu.train.trainer as trainer_mod
+
+    train_loader, valid_loader, _, enc_dict = get_dataloader(
+        ranking_df, ranking_df, ranking_df, RANKING_SCHEMA, batch_size=32)
+    model = get_model("LR")(enc_dict=enc_dict)
+    t = RankTrainer(model_ckpt_dir=str(tmp_path))
+    t.use_wandb = True
+    orig = trainer_mod.wandb
+    trainer_mod.wandb = _Rec()
+    try:
+        t.wandb_config = {}
+        t.fit(model, train_loader, epoch=1, log_rounds=1)
+    finally:
+        trainer_mod.wandb = orig
+    n_batches = len(train_loader)
+    per_batch = [d for d in logged if set(d) == {"loss"}]
+    assert len(per_batch) == n_batches

@@ -70,3 +70,28 @@ def test_rolling_metric_buffer_bounded_and_exact():
     assert len(buf._chunks) <= 4  # ceil(20/7) + 1
     np.testing.assert_array_equal(
         buf.concat().reshape(-1), np.concatenate(chunks)[-20:])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_batched_merge_matches_oracle(seed):
+    """The jitted device merge must produce EXACTLY the per-user Python
+    oracle's lists (order included) — duplicates across interests, id-0
+    padding, score ties, and users with fewer than topn unique ids."""
+    import jax.numpy as jnp
+
+    from rec_pangu_tpu.eval.retrieval import batched_merge_multi_interest
+
+    rng = np.random.default_rng(seed)
+    B, K, N, topn = 17, 4, 20, 10
+    # small id range forces many cross-interest duplicates + some zeros
+    ids = rng.integers(0, 30, (B, K, N)).astype(np.int32)
+    # quantized scores force ties
+    scores = np.round(rng.random((B, K, N)), 1).astype(np.float32)
+    merged, counts = batched_merge_multi_interest(
+        jnp.asarray(ids.reshape(B, -1)), jnp.asarray(scores.reshape(B, -1)),
+        topn)
+    merged, counts = np.asarray(merged), np.asarray(counts)
+    for i in range(B):
+        expect = merge_multi_interest(ids[i], scores[i], topn)
+        assert merged[i, :counts[i]].tolist() == expect
+        assert not merged[i, counts[i]:].any()
