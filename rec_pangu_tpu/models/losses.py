@@ -6,14 +6,25 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-7
 
 
 def bce_loss(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross-entropy on probabilities (torch.nn.BCELoss parity)."""
-    p = jnp.clip(pred.reshape(label.shape), EPS, 1.0 - EPS)
+    """Mean binary cross-entropy on probabilities (torch.nn.BCELoss parity).
+
+    The clip is STRAIGHT-THROUGH (value clipped, gradient of identity): a
+    plain ``jnp.clip`` zeroes the gradient once a prediction saturates past
+    [eps, 1-eps], silencing exactly the confidently-wrong samples — torch's
+    BCELoss instead clamps the backward denominator and keeps a large finite
+    gradient (aten binary_cross_entropy: grad = (p-y)/max(p(1-p), 1e-12)).
+    With the upstream sigmoid jacobian p(1-p), the straight-through form
+    recovers the stable (p - y) logit gradient at saturation."""
+    p_raw = pred.reshape(label.shape)
+    p_clip = jnp.clip(p_raw, EPS, 1.0 - EPS)
+    p = p_raw + jax.lax.stop_gradient(p_clip - p_raw)
     return -jnp.mean(label * jnp.log(p) + (1.0 - label) * jnp.log(1.0 - p))
 
 

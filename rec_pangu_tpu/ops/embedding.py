@@ -23,8 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.encoder import FeatureSpec
+from .initializers import torch_kaiming_normal
 
+# Dense kernels [in, out]: flax fan_in == torch Linear fan_in — same init.
 EMB_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# Embedding TABLES [rows, D]: torch's kaiming on nn.Embedding.weight uses
+# fan_in = D (shape[1]), i.e. std = sqrt(2/D) INDEPENDENT of the vocab size.
+# flax's variance_scaling reads fan_in = rows for a 2-D param, which shrank
+# big tables' init by sqrt(rows/D) (~18x on the ratings leg, ~125x at V=1M)
+# — products of embeddings (FiBiNet bilinear, capsule routing logits) then
+# start ~300x smaller than the reference's.  Root cause of the round-3
+# FiBiNet parity miss (VERDICT r3 item 3); see BASELINE.md.
+TABLE_INIT = torch_kaiming_normal()
 
 
 class FusedEmbedding(nn.Module):
@@ -37,7 +47,7 @@ class FusedEmbedding(nn.Module):
         # big tables are padded to a tile multiple so the planned backward
         # writes the grad at its final shape (pad rows are never indexed)
         self.table = self.param(
-            "table", EMB_INIT,
+            "table", TABLE_INIT,
             (padded_rows(self.spec.total_rows), self.embedding_dim)
         )
         self._offsets = jnp.asarray(self.spec.offsets)
@@ -273,7 +283,7 @@ class ItemEmbedding(nn.Module):
         # big vocabularies are padded like FusedEmbedding (pad rows are never
         # indexed and all_items slices them away)
         self.table = self.param(
-            "table", EMB_INIT,
+            "table", TABLE_INIT,
             (padded_rows(self.vocab_size), self.embedding_dim)
         )
 

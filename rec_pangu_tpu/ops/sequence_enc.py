@@ -102,8 +102,12 @@ class BERT4RecEncoder(nn.Module):
         len_range = jnp.arange(L)
         valid = len_range[None, :] < lengths[:, None]  # [B, L] bool
         position = len_range[None, :] * valid.astype(jnp.int32)
+        from .initializers import torch_kaiming_normal
+
+        # table init: torch kaiming fan_in = H (not rows) — see ops/embedding.py
         p_emb = nn.Embed(self.max_his + 1, H,
-                         embedding_init=KERNEL_INIT, name="p_embeddings")(position)
+                         embedding_init=torch_kaiming_normal(),
+                         name="p_embeddings")(position)
         x = seq + p_emb
         attn_mask = valid[:, None, None, :]  # bidirectional padding mask
         x = TransformerEncoder(self.num_layers, self.num_heads, inner_size=H,
