@@ -1,0 +1,58 @@
+"""FiBiNet ratings leg with the examples' early-stopping config, both sides,
+multiple seeds (dev script, VERDICT r3 item 3): distinguishes a semantic gap
+from an equal-budget/seed-noise gap.  Usage: exp_fibinet_es.py {repo|ref}."""
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+side = sys.argv[1] if len(sys.argv) > 1 else "repo"
+seeds = [1029, 1030, 1031]
+
+from parity_common import RATINGS_SCHEMA, RATINGS_BATCH, load_ratings_ctr
+
+rat_train, rat_valid, rat_test = load_ratings_ctr()
+
+if side == "ref":
+    sys.path.insert(0, os.path.join(_HERE, "ref_compat"))
+    sys.path.insert(0, "/root/reference")
+    import numpy as np
+    import pandas as pd
+    if not hasattr(pd.DataFrame, "append"):
+        def _df_append(self, other, ignore_index=False):
+            other_df = pd.DataFrame([other]) if isinstance(other, dict) else other
+            return pd.concat([self, other_df], ignore_index=ignore_index)
+        pd.DataFrame.append = _df_append
+    import rec_pangu.model_pipeline as _mp
+    from sklearn.metrics import log_loss as _sk_log_loss
+
+    def _log_loss_eps(y_true, y_pred, eps=1e-7, **kw):
+        y_pred = np.clip(np.asarray(y_pred, dtype=np.float64), eps, 1.0 - eps)
+        return _sk_log_loss(y_true, y_pred, **kw)
+
+    _mp.log_loss = _log_loss_eps
+    from rec_pangu.dataset import get_dataloader
+    from rec_pangu.trainer import RankTrainer
+    from rec_pangu.models.ranking import FiBiNet
+    from rec_pangu.models.utils import seed_everything
+    model_ctor = lambda enc: FiBiNet(enc_dict=enc)
+else:
+    from rec_pangu_tpu.data import get_dataloader
+    from rec_pangu_tpu.models import get_model
+    from rec_pangu_tpu.train import RankTrainer
+    from rec_pangu_tpu.utils import seed_everything
+    model_ctor = lambda enc: get_model("FiBiNet")(enc_dict=enc)
+
+train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+    rat_train, rat_valid, rat_test, RATINGS_SCHEMA, batch_size=RATINGS_BATCH)
+for seed in seeds:
+    seed_everything(seed)
+    model = model_ctor(enc_dict)
+    tr = RankTrainer(num_task=1, model_ckpt_dir=f"/tmp/fibes_{side}_{seed}")
+    t0 = time.time()
+    tr.fit(model, train_loader, valid_loader, epoch=15, lr=1e-3,
+           use_earlystopping=True, max_patience=3,
+           monitor_metric="roc_auc_score")
+    print(side, seed, tr.evaluate_model(model, test_loader),
+          f"{time.time() - t0:.1f}s", flush=True)

@@ -13,8 +13,10 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from parity_common import (RANKING_SCHEMA, RATINGS_SCHEMA, RATINGS_EPOCHS,
-                           RATINGS_BATCH, SEQ_EPOCHS, SEQ_BATCH, RANKING_MODELS,
-                           MTL_MODELS, SEQ_MODELS, load_ratings_ctr, repo_path)
+                           RATINGS_BATCH, RATINGS_MTL_SCHEMA, SEQ_EPOCHS,
+                           SEQ_BATCH, RANKING_MODELS, MTL_MODELS,
+                           MTL_RATINGS_MODELS, SEQ_MODELS, SEQ_MODELS_EXTRA,
+                           load_ratings_ctr, load_ratings_mtl, repo_path)
 
 from rec_pangu_tpu.data import get_dataloader
 from rec_pangu_tpu.models import get_model
@@ -96,7 +98,7 @@ loaders = get_dataloader(pd.read_csv(f"{d}/sample_train.csv"),
                          pd.read_csv(f"{d}/sample_test.csv"),
                          seq_schema, batch_size=SEQ_BATCH)
 train_loader, valid_loader, test_loader, enc_dict = loaders
-for name in SEQ_MODELS:
+for name in SEQ_MODELS + SEQ_MODELS_EXTRA:
     if name in results:
         continue
     seed_everything(1029)
@@ -106,5 +108,23 @@ for name in SEQ_MODELS:
     tr.fit(model, train_loader, None, epoch=SEQ_EPOCHS, lr=1e-3, log_rounds=100)
     record(name, {"test": tr.evaluate_model(model, test_loader),
                   "train_s": round(time.time() - t0, 1)})
+
+# ---- multi-task on meaningful data (ratings.csv, two binarized labels) -----
+mtl_train, mtl_valid, mtl_test = load_ratings_mtl()
+loaders = get_dataloader(mtl_train, mtl_valid, mtl_test, RATINGS_MTL_SCHEMA,
+                         batch_size=RATINGS_BATCH)
+train_loader, valid_loader, test_loader, enc_dict = loaders
+for name in MTL_RATINGS_MODELS:
+    key = f"ratings_mtl/{name}"
+    if key in results:
+        continue
+    seed_everything(1029)
+    model = get_model(name)(enc_dict=enc_dict)
+    tr = RankTrainer(num_task=2,
+                     model_ckpt_dir=f"/tmp/baseline_ckpt/ratings_mtl_{name}")
+    t0 = time.time()
+    tr.fit(model, train_loader, valid_loader, epoch=RATINGS_EPOCHS, lr=1e-3)
+    record(key, {"test": tr.evaluate_model(model, test_loader),
+                 "train_s": round(time.time() - t0, 1)})
 
 print("DONE")

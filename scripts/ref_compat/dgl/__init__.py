@@ -1,18 +1,70 @@
-"""Import-only dgl stand-in so the reference package imports in this image.
+"""Minimal functional dgl stand-in for the exact surface the reference's
+session-graph path touches (rec_pangu/models/utils.py:250-260 builds the
+graphs; rec_pangu/models/layers/graph.py:134-140 runs
+``update_all(fn.u_mul_e('h','edge_weight','m'), fn.sum('m','h'))``).
 
-The parity configs (ranking / multi-task / classic+multi-interest sequence
-models) never touch dgl at runtime; only the session-graph models
-(rec_pangu/models/utils.py:250-260) and NGCF would, and those raise a clear
-error here rather than silently misbehaving.
+Implemented with plain torch index_add — numerically identical message
+passing (h_dst = sum_{edges (s,d)} h_s * w_e), so the in-image reference
+SRGNN/GCSAN/NISER parity legs measure the real model.  ``out_degrees`` /
+``in_degrees`` are bincounts over inferred node ids; ``ndata`` assignment
+accepts the caller's [N, D] tensor as the node count (dgl infers N from the
+max edge id, which equals the session-graph total by construction).
 """
+import torch
 
 
-class DGLGraph:  # referenced by type hints in rec_pangu/dataset/graph_dataset.py:1
+class _TensorDict(dict):
     pass
 
 
-def graph(*args, **kw):
-    raise RuntimeError(
-        "dgl shim: session-graph construction is not available in the in-image "
-        "reference run (dgl is not installed; see scripts/ref_compat/)."
-    )
+class DGLGraph:
+    def __init__(self, src, dst):
+        self.src = src.long().reshape(-1)
+        self.dst = dst.long().reshape(-1)
+        n = 0
+        if self.src.numel():
+            n = int(torch.maximum(self.src.max(), self.dst.max())) + 1
+        self._num_nodes = n
+        self.ndata = _TensorDict()
+        self.edata = _TensorDict()
+
+    def num_nodes(self):
+        return self._num_nodes
+
+    def out_degrees(self):
+        return torch.bincount(self.src, minlength=self._num_nodes)
+
+    def in_degrees(self):
+        return torch.bincount(self.dst, minlength=self._num_nodes)
+
+    def to(self, device):
+        self.src = self.src.to(device)
+        self.dst = self.dst.to(device)
+        for d in (self.ndata, self.edata):
+            for k in d:
+                d[k] = d[k].to(device)
+        return self
+
+    def update_all(self, message_func, reduce_func):
+        if getattr(message_func, "kind", None) != "u_mul_e" or \
+                getattr(reduce_func, "kind", None) != "sum":
+            raise NotImplementedError(
+                "dgl shim: only u_mul_e + sum (the SRGNN surface) is supported")
+        h = self.ndata[message_func.src_field]
+        w = self.edata[message_func.edge_field]
+        msg = h[self.src] * w  # [E, D] * [E, 1]
+        out = torch.zeros_like(h)
+        out.index_add_(0, self.dst, msg)
+        self.ndata[reduce_func.out_field] = out
+
+
+def graph(edges, num_nodes=None):
+    src, dst = edges
+    g = DGLGraph(src, dst)
+    if num_nodes is not None:
+        g._num_nodes = int(num_nodes)
+    return g
+
+
+def batch(graphs):
+    raise NotImplementedError("dgl shim: dgl.batch is not used by the reference")

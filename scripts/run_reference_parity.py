@@ -51,6 +51,20 @@ def _get_recall_predict_lists(*a, **kw):
 
 _mp.get_recall_predict = _get_recall_predict_lists
 
+# Reference bug worked around (bites on real data): the MTL losses add 1e-6
+# to the sigmoid output before BCE (rec_pangu/models/multi_task/mmoe.py:127,
+# essm.py:72-74, aitm.py:95-97); once training drives a prediction to exactly
+# 1.0 in fp32, input > 1 crashes torch's binary_cross_entropy.  Minimal fix
+# preserving the loss everywhere it is finite: clamp the input into [0, 1].
+import torch.nn.functional as _F
+
+_orig_bce = _F.binary_cross_entropy
+
+def _bce_clamped(input, target, *a, **kw):
+    return _orig_bce(input.clamp(0.0, 1.0), target, *a, **kw)
+
+_F.binary_cross_entropy = _bce_clamped
+
 # sklearn>=1.5 removed log_loss's eps kwarg; the reference passes eps=1e-7
 # (rec_pangu/model_pipeline.py:83,121).  Same semantics: clip preds first.
 def _log_loss_eps(y_true, y_pred, eps=1e-7, **kw):
@@ -63,8 +77,10 @@ from rec_pangu.dataset import get_dataloader
 from rec_pangu.dataset.multi_task_dataset import MultiTaskDataset
 from rec_pangu.trainer import RankTrainer, SequenceTrainer
 from rec_pangu.models.ranking import DeepFM, DCN, xDeepFM, AutoInt, FiBiNet, MaskNet
-from rec_pangu.models.multi_task import MMOE, ESSM
-from rec_pangu.models.sequence import YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND
+from rec_pangu.models.multi_task import MMOE, ESSM, AITM
+from rec_pangu.models.sequence import (YotubeDNN, GRU4Rec, NARM, ComirecSA,
+                                       ComirecDR, MIND, SASRec, CLRec, IOCRec,
+                                       SRGNN, GCSAN, NISER)
 from rec_pangu.models.utils import seed_everything
 
 # The reference's MultiTaskDataset is broken as shipped: __init__ ends with
@@ -84,8 +100,10 @@ def _fixed_mtl_init(self, config, df, enc_dict=None):
 MultiTaskDataset.__init__ = _fixed_mtl_init
 
 from parity_common import (RANKING_SCHEMA, RATINGS_SCHEMA, RATINGS_EPOCHS,
-                           RATINGS_BATCH, SEQ_EPOCHS, SEQ_BATCH, RANKING_MODELS,
-                           MTL_MODELS, SEQ_MODELS, load_ratings_ctr, repo_path)
+                           RATINGS_BATCH, RATINGS_MTL_SCHEMA, SEQ_EPOCHS,
+                           SEQ_BATCH, RANKING_MODELS, MTL_MODELS,
+                           MTL_RATINGS_MODELS, SEQ_MODELS, SEQ_MODELS_EXTRA,
+                           load_ratings_ctr, load_ratings_mtl, repo_path)
 
 _OUT = os.path.join(_REPO, "reference_results.json")
 results = {}
@@ -179,8 +197,9 @@ import torch.utils.data as D
 test_loader = D.DataLoader(test_loader.dataset, batch_size=SEQ_BATCH,
                            shuffle=False, num_workers=0, drop_last=False)
 _SEQ_CLS = {c.__name__: c
-            for c in [YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND]}
-for name in SEQ_MODELS:
+            for c in [YotubeDNN, GRU4Rec, NARM, ComirecSA, ComirecDR, MIND,
+                      SASRec, CLRec, IOCRec, SRGNN, GCSAN, NISER]}
+for name in SEQ_MODELS + SEQ_MODELS_EXTRA:
     if name in results:
         continue
     # the reference's SequenceTrainer writes log.csv without creating the
@@ -195,5 +214,23 @@ for name in SEQ_MODELS:
     metric = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
               for k, v in metric.items()}
     record(name, {"test": metric, "train_s": round(time.time() - t0, 1)})
+
+# ---- multi-task on meaningful data (ratings.csv, two binarized labels) -----
+mtl_train, mtl_valid, mtl_test = load_ratings_mtl()
+train_loader, valid_loader, test_loader, enc_dict = get_dataloader(
+    mtl_train, mtl_valid, mtl_test, RATINGS_MTL_SCHEMA,
+    batch_size=RATINGS_BATCH)
+_MTLR_CLS = {"MMOE": MMOE, "ESSM": ESSM, "AITM": AITM}
+for name in MTL_RATINGS_MODELS:
+    key = f"ratings_mtl/{name}"
+    if key in results:
+        continue
+    seed_everything(1029)
+    model = _MTLR_CLS[name](enc_dict=enc_dict)
+    tr = RankTrainer(num_task=2, model_ckpt_dir=f"/tmp/ref_ckpt/ratings_mtl_{name}")
+    t0 = time.time()
+    tr.fit(model, train_loader, valid_loader, epoch=RATINGS_EPOCHS, lr=1e-3)
+    record(key, {"test": tr.evaluate_model(model, test_loader),
+                 "train_s": round(time.time() - t0, 1)})
 
 print("DONE")
