@@ -146,7 +146,15 @@ def bench_sequence(name, steps=20, extra_config=None):
         "target_item": rng.integers(1, SEQ_V, (SEQ_B,), dtype=np.int32),
     }
     model = get_model(name)(enc_dict=enc, config=config)
-    attach_item_plan(batch, SEQ_V + 1, SEQ_D)
+    if getattr(model, "session_graph", False):
+        # SRGNN family: host-built nodes/alias; the sort plan covers the
+        # node lookup (ops/graph.attach_session_graph)
+        from rec_pangu_tpu.ops.graph import attach_session_graph
+
+        attach_session_graph(batch)
+        attach_item_plan(batch, SEQ_V + 1, SEQ_D, ids_key="graph_nodes")
+    else:
+        attach_item_plan(batch, SEQ_V + 1, SEQ_D)
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),
                                jax.random.PRNGKey(0))
     state, train_step, _ = maybe_enable_seq_fused_update(
@@ -220,11 +228,9 @@ LEG_TIMEOUT_S = int(os.environ.get("REC_PANGU_TPU_BENCH_LEG_TIMEOUT", "1500"))
 
 def _bench_env_defaults():
     """Production bench config (see main() for the measured A/Bs):
-    bf16 Adam-moment storage, TPU-native RBG step rng, bf16 MXU inputs for
-    the streamed K-max CE."""
+    bf16 Adam-moment storage + TPU-native RBG step rng."""
     os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
     os.environ.setdefault("REC_PANGU_TPU_RNG_IMPL", "rbg")
-    os.environ.setdefault("REC_PANGU_TPU_CE_COMPUTE", "bf16")
 
 
 def run_one(name: str):
@@ -278,8 +284,7 @@ def main():
     # WDL +6%, GRU4Rec +4%; quality parity: tests/test_fused_adam.py (3-step
     # drift bound) + scripts/exp_moment_quality.py (planted-task held-out
     # AUC 0.6315 vs 0.6316 f32).  Export REC_PANGU_TPU_MOMENT_DTYPE=f32 to
-    # bench the default.  RNG_IMPL=rbg and CE_COMPUTE=bf16 likewise (r04:
-    # scripts/exp_iocrec_local.py, scripts/exp_ce_dtype.py).
+    # bench the default.  RNG_IMPL=rbg likewise (r04: scripts/exp_iocrec_local.py).
     _bench_env_defaults()
 
     suite = {}

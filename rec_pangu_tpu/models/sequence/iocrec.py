@@ -135,18 +135,25 @@ class IOCRec(SequenceModelBase):
         keep = jnp.broadcast_to(keep, (item_seq.shape[0], 1, L, L))
         return jnp.tril(keep)
 
-    def _local_encoding(self, item_seq, train):
+    def _local_from_emb(self, emb, item_seq, train):
         L = item_seq.shape[1]
-        seq_emb = self.item_emb(item_seq, prefer_kernel_grad=True) \
-            + self.position_embedding[None, :L]
+        seq_emb = emb + self.position_embedding[None, :L]
         seq_emb = self.input_layer_norm(seq_emb)
         seq_emb = self.input_dropout(seq_emb, deterministic=not train)
         return self.local_encoder(seq_emb, self._causal_mask(item_seq), train)
 
+    def _local_encoding(self, item_seq, train):
+        return self._local_from_emb(
+            self.item_emb(item_seq, prefer_kernel_grad=True), item_seq, train)
+
     def _intention_emb(self, item_seq, seq_len, train):
-        local_emb = self._local_encoding(item_seq, train)
-        global_emb = self.global_seq_encoder(
-            self.item_emb(item_seq, prefer_kernel_grad=True), train)
+        # ONE table gather serves both encoders (the reference looks the
+        # sequence up once per encoder, iocrec.py:216,350+; the lookup's
+        # sorted-segment backward is ~10.7 ms at the bench shape, so sharing
+        # it halves that cost)
+        emb = self.item_emb(item_seq, prefer_kernel_grad=True)
+        local_emb = self._local_from_emb(emb, item_seq, train)
+        global_emb = self.global_seq_encoder(emb, train)
         return self.disentangle_encoder(local_emb, global_emb, seq_len)  # [B,K,L,D]
 
     def __call__(self, batch, train: bool = True):

@@ -25,7 +25,11 @@ Backward: recomputes each tile's z/argmax from the saved lse, routes p to the
 
 Numerics: matmuls at DEFAULT precision with f32 accumulation — the same as
 the scan path; equality pinned by tests/test_kernels.py in interpret mode
-and the chip lane.
+and the chip lane.  (Measured r04: an explicit bf16 cast of the dot inputs
+is bit-identical and ~equal speed — DEFAULT precision on TPU already runs
+f32 matmul inputs through bf16 MXU passes; and stacking the K per-interest
+dots into one [K*B, D] dot was 40% SLOWER because it forces 4x smaller item
+tiles — scripts/exp_ce_dtype.py.)
 """
 from __future__ import annotations
 
@@ -37,21 +41,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # finite -inf: exp underflows to exactly 0
-
-
-def _compute_dtype():
-    """MXU input dtype for the kernel's dot_generals (accumulation is always
-    f32 via preferred_element_type).  The K-max CE at the bench shape is
-    MXU-f32-bound (~1.6 TFLOP/step vs ~50 TF/s f32 peak); bf16 inputs run
-    the same contractions at the bf16 MXU rate (~4x).  Casting happens
-    in-VMEM (VPU) — HBM traffic is unchanged.  Default f32 for bit-parity;
-    REC_PANGU_TPU_CE_COMPUTE=bf16 opts in (the bench does; quality A/B in
-    scripts/exp_ce_dtype.py)."""
-    import os
-
-    return (jnp.bfloat16
-            if os.environ.get("REC_PANGU_TPU_CE_COMPUTE", "f32") == "bf16"
-            else jnp.float32)
 
 
 def _choose_tile(b: int, v_pad: int) -> int:
@@ -66,7 +55,7 @@ def _choose_tile(b: int, v_pad: int) -> int:
 
 
 def _fwd_kernel(u_ref, items_ref, lse_ref, m_ref, s_ref, *, k, tile_v,
-                n_tiles, valid_v, cdt):
+                n_tiles, valid_v):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -74,11 +63,11 @@ def _fwd_kernel(u_ref, items_ref, lse_ref, m_ref, s_ref, *, k, tile_v,
         m_ref[:] = jnp.full_like(m_ref, _NEG)
         s_ref[:] = jnp.zeros_like(s_ref)
 
-    tile = items_ref[:, :].astype(cdt)  # [T, D]; contract D on both -> [B, T]
-    z = jax.lax.dot_general(u_ref[0].astype(cdt), tile, (((1,), (1,)), ((), ())),
+    tile = items_ref[:, :]  # [T, D]; contract D on both -> [B, T]
+    z = jax.lax.dot_general(u_ref[0], tile, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     for i in range(1, k):
-        zi = jax.lax.dot_general(u_ref[i].astype(cdt), tile,
+        zi = jax.lax.dot_general(u_ref[i], tile,
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         z = jnp.maximum(z, zi)
@@ -97,19 +86,19 @@ def _fwd_kernel(u_ref, items_ref, lse_ref, m_ref, s_ref, *, k, tile_v,
 
 
 def _bwd_kernel(u_ref, items_ref, lse_ref, du_ref, di_ref, *,
-                k, tile_v, n_tiles, valid_v, cdt):
+                k, tile_v, n_tiles, valid_v):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
         du_ref[:] = jnp.zeros_like(du_ref)
 
-    tile = items_ref[:, :].astype(cdt)  # [T, D]; contract D on both -> [B, T]
-    z = jax.lax.dot_general(u_ref[0].astype(cdt), tile, (((1,), (1,)), ((), ())),
+    tile = items_ref[:, :]  # [T, D]; contract D on both -> [B, T]
+    z = jax.lax.dot_general(u_ref[0], tile, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     ks = jnp.zeros(z.shape, jnp.int32)
     for i in range(1, k):
-        zi = jax.lax.dot_general(u_ref[i].astype(cdt), tile,
+        zi = jax.lax.dot_general(u_ref[i], tile,
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         upd = zi > z
@@ -120,14 +109,13 @@ def _bwd_kernel(u_ref, items_ref, lse_ref, du_ref, di_ref, *,
 
     di = None
     for i in range(k):
-        mk = jnp.where(ks == i, p, 0.0).astype(cdt)
+        mk = jnp.where(ks == i, p, 0.0)
         # du_k += mk @ tile           [B, T] x [T, D]
         du_ref[i] += jax.lax.dot_general(
             mk, tile, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # d_tile += mk^T @ u_k        [T, B] x [B, D]
-        d = jax.lax.dot_general(mk, u_ref[i].astype(cdt),
-                                (((0,), (0,)), ((), ())),
+        d = jax.lax.dot_general(mk, u_ref[i], (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         di = d if di is None else di + d
     di_ref[:] = di
@@ -143,11 +131,10 @@ def _grid_call(u_t, items_p, valid_v, tile_v, interpret, lse=None):
                           memory_space=pltpu.VMEM)
     items_spec = pl.BlockSpec((tile_v, d), lambda t: (t, 0),
                               memory_space=pltpu.VMEM)
-    cdt = _compute_dtype()
     if lse is None:
         return pl.pallas_call(
             functools.partial(_fwd_kernel, k=k, tile_v=tile_v,
-                              n_tiles=n_tiles, valid_v=valid_v, cdt=cdt),
+                              n_tiles=n_tiles, valid_v=valid_v),
             grid=(n_tiles,),
             in_specs=[u_spec, items_spec],
             out_specs=pl.BlockSpec((b, 1), lambda t: (0, 0),
@@ -161,7 +148,7 @@ def _grid_call(u_t, items_p, valid_v, tile_v, interpret, lse=None):
         )(u_t, items_p)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, k=k, tile_v=tile_v,
-                          n_tiles=n_tiles, valid_v=valid_v, cdt=cdt),
+                          n_tiles=n_tiles, valid_v=valid_v),
         grid=(n_tiles,),
         in_specs=[u_spec, items_spec,
                   pl.BlockSpec((b, 1), lambda t: (0, 0),

@@ -143,14 +143,25 @@ class _BaseTrainer:
 
             vocab = int(enc[item_col][OOV_SENTINEL])
             dim = int(cfg["embedding_dim"])
+            ids_key = "hist_item_list"
+            if getattr(model, "session_graph", False):
+                # SRGNN family: build nodes/alias on host (ops/graph.py) so
+                # the lookup ids are host-visible — the sort plan (and the
+                # fused update) then covers the NODE lookup
+                from ..ops.graph import attach_session_graph
+
+                attach_session_graph(batch)
+                ids_key = "graph_nodes"
             if (n_shards and force
                     and batch["hist_item_list"].shape[0] % n_shards):
                 # replicated partial batch on the fused path: one plain plan
                 # serves both the capture forward and the update kernel
-                return attach_item_plan(batch, vocab, dim, force=True)
+                return attach_item_plan(batch, vocab, dim, force=True,
+                                        ids_key=ids_key)
             return attach_item_plan(batch, vocab, dim, force=force,
                                     n_shards=n_shards,
-                                    with_global=with_global, n_model=n_model)
+                                    with_global=with_global, n_model=n_model,
+                                    ids_key=ids_key)
         spec = getattr(model, "spec", None)
         dim = getattr(model, "embedding_dim", None)
         if spec is None or dim is None:
