@@ -9,7 +9,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops.graph import SRGNNCell, build_session_graph, take_nodes
+from ...ops.graph import (SRGNNCell, adj_from_alias, build_session_graph,
+                          take_nodes)
 from ...ops.sequence_enc import KERNEL_INIT, TransformerEncoder
 from ...ops.numerics import safe_l2norm
 from ..base import SequenceModelBase, register_model
@@ -35,16 +36,36 @@ class _SRGNNReadout(nn.Module):
 
 @register_model("SRGNN")
 class SRGNN(SequenceModelBase):
+    # The trainer/bench attach a host-built session graph (graph_nodes /
+    # graph_alias, ops/graph.attach_session_graph) plus an embedding sort
+    # plan over graph_nodes — the only table uses are then the planned node
+    # lookup + the full-softmax CE, so the fused table-Adam step applies.
+    session_graph = True
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         self.step = int(self.config.get("step", 1))
         self.gnncell = SRGNNCell(self.embedding_dim)
         self.readout = _SRGNNReadout(self.embedding_dim)
 
-    def _gnn_seq_hidden(self, batch):
+    def _graph_parts(self, batch):
+        """(nodes, alias, M_in, M_out, plan): host-plan path when the batch
+        carries graph_nodes (the unique/alias build already happened on
+        host and the lookup plan refers to those ids), on-device build
+        otherwise (plain model.apply callers)."""
+        mask = batch["hist_mask_list"]
+        if "graph_nodes" in batch:
+            nodes, alias = batch["graph_nodes"], batch["graph_alias"]
+            m_in, m_out = adj_from_alias(alias, mask)
+            return nodes, alias, m_in, m_out, batch.get("emb_plan")
         nodes, alias, m_in, m_out = build_session_graph(
-            batch["hist_item_list"], batch["hist_mask_list"])
-        hidden = self.item_emb(nodes)
+            batch["hist_item_list"], mask)
+        return nodes, alias, m_in, m_out, None
+
+    def _gnn_seq_hidden(self, batch):
+        nodes, alias, m_in, m_out, plan = self._graph_parts(batch)
+        hidden = self.item_emb(nodes, plan)
         for _ in range(self.step):
             hidden = self.gnncell(m_in, m_out, hidden)
         return take_nodes(hidden, alias)
@@ -57,7 +78,8 @@ class SRGNN(SequenceModelBase):
         seq_output = self.readout(seq_hidden, ht, mask)
         out = {"user_emb": seq_output}
         if train:
-            out["loss"] = self.calculate_loss(seq_output, batch["target_item"])
+            out["loss"] = self.calculate_loss(seq_output, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out
 
 
@@ -89,7 +111,8 @@ class GCSAN(SRGNN):
         seq_output = self.weight * at + (1 - self.weight) * ht
         out = {"user_emb": seq_output}
         if train:
-            out["loss"] = self.calculate_loss(seq_output, batch["target_item"])
+            out["loss"] = self.calculate_loss(seq_output, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out
 
 
@@ -105,9 +128,8 @@ class NISER(SRGNN):
     def __call__(self, batch, train: bool = True):
         mask = batch["hist_mask_list"]
         lengths = jnp.sum(mask, axis=-1).astype(jnp.int32)
-        nodes, alias, m_in, m_out = build_session_graph(
-            batch["hist_item_list"], mask)
-        hidden = self.item_emb(nodes)
+        nodes, alias, m_in, m_out, plan = self._graph_parts(batch)
+        hidden = self.item_emb(nodes, plan)
         hidden = self.item_dropout(hidden, deterministic=not train)
         hidden = safe_l2norm(hidden)
         for _ in range(self.step):
@@ -118,5 +140,6 @@ class NISER(SRGNN):
         seq_output = safe_l2norm(self.readout(seq_hidden, ht, mask))
         out = {"user_emb": seq_output}
         if train:
-            out["loss"] = self.calculate_loss(seq_output, batch["target_item"])
+            out["loss"] = self.calculate_loss(seq_output, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

@@ -352,13 +352,16 @@ class ItemEmbedding(nn.Module):
 
 def attach_item_plan(batch: dict, vocab_size: int, embedding_dim: int,
                      force: bool = False, n_shards: int = 0,
-                     with_global: bool = False, n_model: int = 1) -> dict:
-    """Host-side: sort plan for the sequence hist-item lookup.  ``force``
+                     with_global: bool = False, n_model: int = 1,
+                     ids_key: str = "hist_item_list") -> dict:
+    """Host-side: sort plan for the sequence item-table lookup.  ``force``
     waives the lookup-count threshold (a perf gate only) — the fused-update
     train step needs a plan on EVERY batch, including a small final one.
     ``n_shards`` > 1 builds a stacked per-data-shard plan (mesh path);
-    ``with_global`` adds the whole-batch plan for the mesh fused update."""
-    hist = batch.get("hist_item_list")
+    ``with_global`` adds the whole-batch plan for the mesh fused update.
+    ``ids_key`` selects which batch array the model actually looks up —
+    ``graph_nodes`` for the session-graph family (attach_session_graph)."""
+    hist = batch.get(ids_key)
     if hist is None or "emb_plan" in batch:
         return batch
     _attach_plans(batch,

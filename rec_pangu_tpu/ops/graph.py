@@ -29,17 +29,9 @@ KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _BIG = 2**30
 
 
-def _session_graph_single(ids: jnp.ndarray, mask: jnp.ndarray):
-    """ids [L] int, mask [L] {0,1} -> (nodes [L], alias [L], M_in, M_out [L,L])."""
-    L = ids.shape[0]
-    key = jnp.where(mask > 0, ids, _BIG)
-    sorted_key, order = jax.lax.sort_key_val(key, jnp.arange(L))
-    is_new = jnp.concatenate([jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
-    rank = jnp.cumsum(is_new) - 1
-    nodes = jnp.zeros((L,), ids.dtype).at[rank].set(
-        jnp.where(sorted_key < _BIG, sorted_key, 0))
-    alias = jnp.zeros((L,), jnp.int32).at[order].set(rank.astype(jnp.int32))
-
+def _adj_single(alias: jnp.ndarray, mask: jnp.ndarray):
+    """alias [L] node ranks, mask [L] {0,1} -> (M_in, M_out [L, L])."""
+    L = alias.shape[0]
     src, dst = alias[:-1], alias[1:]
     valid = mask[1:] * mask[:-1]  # edge t -> t+1 exists iff both valid
     oh_src = jax.nn.one_hot(src, L, dtype=jnp.float32)
@@ -51,7 +43,70 @@ def _session_graph_single(ids: jnp.ndarray, mask: jnp.ndarray):
     rev = counts.T
     out_deg_rev = rev.sum(axis=1)
     m_out = (rev / jnp.maximum(out_deg_rev, 1.0)[:, None]).T
+    return m_in, m_out
+
+
+def adj_from_alias(alias: jnp.ndarray, mask: jnp.ndarray):
+    """Batched [B, L] alias + mask -> (M_in, M_out [B, L, L]) — the device
+    half of the session-graph build when nodes/alias come from the host plan
+    (attach_session_graph)."""
+    return jax.vmap(_adj_single)(alias, mask)
+
+
+def _session_graph_single(ids: jnp.ndarray, mask: jnp.ndarray):
+    """ids [L] int, mask [L] {0,1} -> (nodes [L], alias [L], M_in, M_out [L,L])."""
+    L = ids.shape[0]
+    key = jnp.where(mask > 0, ids, _BIG)
+    sorted_key, order = jax.lax.sort_key_val(key, jnp.arange(L))
+    is_new = jnp.concatenate([jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    rank = jnp.cumsum(is_new) - 1
+    nodes = jnp.zeros((L,), ids.dtype).at[rank].set(
+        jnp.where(sorted_key < _BIG, sorted_key, 0))
+    alias = jnp.zeros((L,), jnp.int32).at[order].set(rank.astype(jnp.int32))
+    m_in, m_out = _adj_single(alias, mask)
     return nodes, alias, m_in, m_out
+
+
+def host_session_graph(hist_item_list, hist_mask_list):
+    """NumPy replica of the unique/alias half of ``build_session_graph`` —
+    runs on host per batch (the pattern proven by ``emb_plan``) so (a) the
+    device step skips the per-sample sort-based ranking and (b) the node
+    lookup's ids become host-visible, letting the planned/fused embedding
+    path engage for the SRGNN family (they were the only sequence models
+    whose ids were device-generated).  Bit-identical to the device build
+    (pinned by tests/test_sequence_models.py)."""
+    import numpy as np
+
+    hist = np.asarray(hist_item_list)
+    mask = np.asarray(hist_mask_list)
+    B, L = hist.shape
+    key = np.where(mask > 0, hist.astype(np.int64), _BIG)
+    order = np.argsort(key, axis=1, kind="stable")
+    sorted_key = np.take_along_axis(key, order, axis=1)
+    is_new = np.concatenate(
+        [np.ones((B, 1), bool), sorted_key[:, 1:] != sorted_key[:, :-1]], axis=1)
+    rank = np.cumsum(is_new, axis=1) - 1
+    nodes = np.zeros((B, L), np.int32)
+    np.put_along_axis(nodes, rank,
+                      np.where(sorted_key < _BIG, sorted_key, 0).astype(np.int32),
+                      axis=1)
+    alias = np.zeros((B, L), np.int32)
+    np.put_along_axis(alias, order, rank.astype(np.int32), axis=1)
+    return nodes, alias
+
+
+def attach_session_graph(batch: dict) -> dict:
+    """Add the host-built ``graph_nodes`` / ``graph_alias`` arrays to a
+    sequence batch (idempotent).  Session-graph models read them instead of
+    running the on-device unique/alias build, and the trainer builds the
+    embedding sort plan from ``graph_nodes``."""
+    if "graph_nodes" in batch or "hist_item_list" not in batch:
+        return batch
+    nodes, alias = host_session_graph(batch["hist_item_list"],
+                                      batch["hist_mask_list"])
+    batch["graph_nodes"] = nodes
+    batch["graph_alias"] = alias
+    return batch
 
 
 def take_nodes(hidden: jnp.ndarray, alias: jnp.ndarray) -> jnp.ndarray:

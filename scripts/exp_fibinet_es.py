@@ -1,6 +1,7 @@
-"""FiBiNet ratings leg with the examples' early-stopping config, both sides,
-multiple seeds (dev script, VERDICT r3 item 3): distinguishes a semantic gap
-from an equal-budget/seed-noise gap.  Usage: exp_fibinet_es.py {repo|ref}."""
+"""FiBiNet ratings leg, both sides, multiple seeds (dev script, VERDICT r3
+item 3): distinguishes a semantic gap from an equal-budget/seed-noise gap.
+Usage: exp_fibinet_es.py {repo|ref} [fixed]  — 'fixed' uses the parity
+protocol (5 epochs, no early stopping) instead of the examples' ES config."""
 import os
 import sys
 import time
@@ -51,8 +52,11 @@ for seed in seeds:
     model = model_ctor(enc_dict)
     tr = RankTrainer(num_task=1, model_ckpt_dir=f"/tmp/fibes_{side}_{seed}")
     t0 = time.time()
-    tr.fit(model, train_loader, valid_loader, epoch=15, lr=1e-3,
-           use_earlystopping=True, max_patience=3,
-           monitor_metric="roc_auc_score")
+    if "fixed" in sys.argv:
+        tr.fit(model, train_loader, valid_loader, epoch=5, lr=1e-3)
+    else:
+        tr.fit(model, train_loader, valid_loader, epoch=15, lr=1e-3,
+               use_earlystopping=True, max_patience=3,
+               monitor_metric="roc_auc_score")
     print(side, seed, tr.evaluate_model(model, test_loader),
           f"{time.time() - t0:.1f}s", flush=True)

@@ -16,11 +16,13 @@ def test_deepfm_end_to_end(ranking_df, tmp_path):
     )
     model = get_model("DeepFM")(enc_dict=enc_dict, embedding_dim=16, hidden_units=(32, 32))
     trainer = RankTrainer(num_task=1, model_ckpt_dir=str(tmp_path / "ckpt"))
-    train_metric = trainer.fit(model, train_loader, valid_loader, epoch=30, lr=1e-3,
-                               use_earlystopping=True, max_patience=10,
+    train_metric = trainer.fit(model, train_loader, valid_loader, epoch=60, lr=1e-3,
+                               use_earlystopping=True, max_patience=20,
                                monitor_metric="roc_auc_score")
     assert "train_roc_auc_score" in train_metric
-    # 30 epochs on 80 rows should comfortably overfit past random
+    # 60 epochs on 80 rows should comfortably overfit past random (the
+    # torch-kaiming table init converges a touch slower on this fixture
+    # than the old tiny init; train AUC hits 1.0 by epoch ~50)
     assert train_metric["train_roc_auc_score"] > 0.95
 
     test_metric = trainer.evaluate_model(model, test_loader)

@@ -182,3 +182,78 @@ def test_contrarec_batch_concat_equivariance(seq_batch, enc_dict):
                                enc(hist[half:], lens[half:])], axis=0)
         np.testing.assert_allclose(np.asarray(both), np.asarray(sep),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_host_session_graph_matches_device(seq_batch):
+    """attach_session_graph's numpy nodes/alias must be bit-identical to the
+    on-device build, and the model must produce the same forward through
+    either path."""
+    from rec_pangu_tpu.ops.graph import (build_session_graph,
+                                         host_session_graph)
+
+    hist, mask = seq_batch["hist_item_list"], seq_batch["hist_mask_list"]
+    d_nodes, d_alias, _, _ = build_session_graph(jnp.asarray(hist),
+                                                 jnp.asarray(mask))
+    h_nodes, h_alias = host_session_graph(hist, mask)
+    np.testing.assert_array_equal(np.asarray(d_nodes), h_nodes)
+    np.testing.assert_array_equal(np.asarray(d_alias), h_alias)
+
+
+@pytest.mark.parametrize("name", ["SRGNN", "GCSAN", "NISER"])
+def test_session_graph_plan_forward_equal(name, seq_batch, enc_dict):
+    """Forward through the host-graph (graph_nodes/graph_alias) path equals
+    the on-device build path exactly."""
+    from rec_pangu_tpu.ops.graph import attach_session_graph
+
+    model = get_model(name)(enc_dict=enc_dict, config=make_config())
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        seq_batch, False)
+    out_dev = model.apply(variables, seq_batch, False)
+    planned = attach_session_graph(dict(seq_batch))
+    out_host = model.apply(variables, planned, False)
+    np.testing.assert_allclose(np.asarray(out_dev["user_emb"]),
+                               np.asarray(out_host["user_emb"]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_srgnn_fused_update_engages(tmp_path, monkeypatch):
+    """With the host session graph + node-lookup plan, the SRGNN family is
+    fused_update_compatible: the fused step must engage and train to the
+    same params as the standard path (r4: the family previously could not
+    fuse because its lookup ids were device-generated)."""
+    from rec_pangu_tpu.train import SequenceTrainer
+
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    VOCAB_BIG, B_BIG, L_BIG = 65537, 1024, 8
+    rng = np.random.default_rng(3)
+    lens = rng.integers(2, L_BIG + 1, B_BIG)
+    hist = np.zeros((B_BIG, L_BIG), dtype=np.int32)
+    mask = np.zeros((B_BIG, L_BIG), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, VOCAB_BIG, n)
+        mask[i, :n] = 1.0
+    batch = {"hist_item_list": hist, "hist_mask_list": mask,
+             "target_item": rng.integers(1, VOCAB_BIG, B_BIG).astype(np.int32)}
+    enc = {"item_id": {"vocab_size": VOCAB_BIG}}
+    cfg = {"embedding_dim": 8, "max_length": L_BIG, "item_col": "item_id",
+           "cate_cols": [], "device": -1}
+
+    model = get_model("SRGNN")(enc_dict=enc, config=dict(cfg))
+    tr = SequenceTrainer(model_ckpt_dir=str(tmp_path / "fused"))
+    tr.fit(model, [dict(batch)], None, epoch=2, lr=1e-2, seed=5)
+    assert getattr(tr, "_fused_step", None) is not None, \
+        "SRGNN fused seq path did not engage"
+
+    # standard (unfused) path for comparison
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ADAM", "0")
+    model2 = get_model("SRGNN")(enc_dict=enc, config=dict(cfg))
+    tr2 = SequenceTrainer(model_ckpt_dir=str(tmp_path / "std"))
+    tr2.fit(model2, [dict(batch)], None, epoch=2, lr=1e-2, seed=5)
+    assert getattr(tr2, "_fused_step", None) is None
+    monkeypatch.delenv("REC_PANGU_TPU_FUSED_ADAM")
+    import jax as _jax
+    for a, b in zip(_jax.tree_util.tree_leaves(tr.state.params),
+                    _jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
