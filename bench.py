@@ -44,19 +44,19 @@ BASELINE_EXAMPLES_PER_S = 16_883.0  # DeepFM torch-cpu (scripts/baseline_torch.p
 # (round-1 BASELINE.md numbers were measured a few % higher), so the floor is
 # the latest in-session sweep, not the best-ever number.
 EXPECTED = {
-    "DeepFM": 1_680_000,  # r03, bf16 moments (1,680,886 measured)
+    "DeepFM": 1_686_000,  # r04 sweep (1,686,970 measured)
     "WDL": 1_076_000,
-    "MMOE": 1_603_000,
-    "SASRec": 41_900,
-    "GRU4Rec": 58_700,
-    "IOCRec": 8_200,  # r03, Pallas K-max CE (8,224 measured)
-    "SRGNN": 35_500,
+    "MMOE": 1_629_000,
+    "SASRec": 45_200,     # r04, RBG step rng
+    "GRU4Rec": 58_400,
+    "IOCRec": 9_200,      # r04, RBG rng + shared encoder lookup
+    "SRGNN": 61_100,      # r04, host session graph + fused table-Adam
 }
 REGRESSION_TOLERANCE = 0.15
 
 # Models whose fused table-Adam step MUST engage at the bench shape; a None
 # return from maybe_enable_*_fused_update is a hard failure, not a fallback.
-MUST_FUSE = {"DeepFM", "WDL", "MMOE", "SASRec", "GRU4Rec"}
+MUST_FUSE = {"DeepFM", "WDL", "MMOE", "SASRec", "GRU4Rec", "SRGNN"}
 
 
 def _log(msg):

@@ -383,4 +383,7 @@ class LRLayer(nn.Module):
                  plan: Optional[dict] = None) -> jnp.ndarray:
         emb = FusedEmbedding(self.spec, 1)(sparse_ids, plan)[..., 0]  # [B, F]
         x = jnp.concatenate([emb, dense], axis=1)
-        return nn.Dense(1, kernel_init=EMB_INIT)(x)
+        from .initializers import torch_linear_bias
+
+        return nn.Dense(1, kernel_init=EMB_INIT,
+                        bias_init=torch_linear_bias(x.shape[-1]))(x)

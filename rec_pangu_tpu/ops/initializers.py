@@ -26,6 +26,19 @@ import jax
 import jax.numpy as jnp
 
 
+def torch_linear_bias(fan_in: int):
+    """torch nn.Linear's DEFAULT bias init: uniform(-1/sqrt(fan_in),
+    1/sqrt(fan_in)).  ``reset_parameters`` skips 1-D params, so every
+    reference Linear-with-bias keeps this — flax's zeros default was the
+    one remaining init divergence after the kaiming table fix."""
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def torch_kaiming_normal():
     """std = sqrt(2 / fan_in) with torch's fan_in = shape[1] * prod(shape[2:])."""
 

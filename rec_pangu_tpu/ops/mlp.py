@@ -12,6 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .activations import Dice, get_activation
+from .initializers import torch_linear_bias
 
 KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
@@ -39,7 +40,8 @@ class MLP(nn.Module):
             else list(self.dropout_rates)
         )
         for i, units in enumerate(self.hidden_units):
-            x = nn.Dense(units, use_bias=self.use_bias, kernel_init=KERNEL_INIT)(x)
+            x = nn.Dense(units, use_bias=self.use_bias, kernel_init=KERNEL_INIT,
+                         bias_init=torch_linear_bias(x.shape[-1]))(x)
             if self.batch_norm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
             if acts[i]:
@@ -50,7 +52,9 @@ class MLP(nn.Module):
             if drops[i] and drops[i] > 0:
                 x = nn.Dropout(rate=float(drops[i]), deterministic=not train)(x)
         if self.output_dim is not None:
-            x = nn.Dense(self.output_dim, use_bias=self.use_bias, kernel_init=KERNEL_INIT)(x)
+            x = nn.Dense(self.output_dim, use_bias=self.use_bias,
+                         kernel_init=KERNEL_INIT,
+                         bias_init=torch_linear_bias(x.shape[-1]))(x)
         if self.output_activation is not None:
             x = get_activation(self.output_activation)(x)
         return x

@@ -155,6 +155,28 @@ for name in RANKING_MODELS:
     record(key, {"test": tr.evaluate_model(model, test_loader),
                  "train_s": round(time.time() - t0, 1)})
 
+# ---- ratings CTR, 3-seed distribution (matches fill_baseline's ratings3/
+# legs; seed_everything drives torch's init AND loader order) ----------------
+SEEDS3 = [1029, 1030, 1031]
+for name in RANKING_MODELS:
+    key = f"ratings3/{name}"
+    if key in results:
+        continue
+    runs = []
+    t0 = time.time()
+    for seed in SEEDS3:
+        seed_everything(seed)
+        model = _RANK_CLS[name](enc_dict=enc_dict)
+        tr = RankTrainer(num_task=1,
+                         model_ckpt_dir=f"/tmp/ref_ckpt/r3_{name}_{seed}")
+        tr.fit(model, train_loader, valid_loader, epoch=RATINGS_EPOCHS, lr=1e-3)
+        runs.append(tr.evaluate_model(model, test_loader))
+    aucs = [r["roc_auc_score"] for r in runs]
+    record(key, {"seeds": dict(zip(map(str, SEEDS3), runs)),
+                 "auc_mean": round(sum(aucs) / len(aucs), 4),
+                 "auc_min": min(aucs), "auc_max": max(aucs),
+                 "train_s": round(time.time() - t0, 1)})
+
 # ---- multi-task -------------------------------------------------------------
 mt_schema = {**RANKING_SCHEMA, "label_col": ["click", "scroll"],
              "task_type": "multitask"}
