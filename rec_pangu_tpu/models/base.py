@@ -96,10 +96,16 @@ class SequenceModelBase(nn.Module):
         item_col = self.config.get("item_col", "item_id")
         vocab = int(self.enc_dict[item_col][OOV_SENTINEL])
         dim = int(self.config["embedding_dim"])
-        self.item_emb = ItemEmbedding(vocab, dim)
+        # config['emb_init_std'] overrides the torch-kaiming table init —
+        # smaller inits measurably lift retrieval recall on small corpora
+        # (see BASELINE.md); the default reproduces the reference
+        std = self.config.get("emb_init_std")
+        std = float(std) if std is not None else None
+        self.item_emb = ItemEmbedding(vocab, dim, init_std=std)
         cate_embs = {}
         for col in self.config.get("cate_cols", []) or []:
-            cate_embs[col] = ItemEmbedding(int(self.enc_dict[col][OOV_SENTINEL]), dim)
+            cate_embs[col] = ItemEmbedding(int(self.enc_dict[col][OOV_SENTINEL]),
+                                           dim, init_std=std)
         self.cate_embs = cate_embs
 
     @property

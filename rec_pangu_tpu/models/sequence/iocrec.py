@@ -135,11 +135,56 @@ class IOCRec(SequenceModelBase):
         keep = jnp.broadcast_to(keep, (item_seq.shape[0], 1, L, L))
         return jnp.tril(keep)
 
+    def _use_fused_encoder(self, n_rows: int) -> bool:
+        """Route the local transformer through the fused Pallas encoder
+        (ops/kernels/fused_encoder.py) — the XLA stack round-trips every
+        sub-op's [3B, L, D] activations through HBM (~26 ms fwd+bwd at the
+        bench shape vs ~1 ms of MXU work).  auto = TPU (or interpret) and a
+        tile-divisible batch; REC_PANGU_TPU_FUSED_ENCODER=0 forces off."""
+        import os
+
+        flag = os.environ.get("REC_PANGU_TPU_FUSED_ENCODER", "auto")
+        if flag in ("0", "off", "false"):
+            return False
+        if self.is_initializing():
+            return False  # flax path creates the encoder params
+        from ...ops.kernels.embedding_grad import _interpret
+
+        backend = jax.default_backend()
+        if backend == "cpu" and not _interpret():
+            return flag in ("1", "on", "true")
+        if backend not in ("cpu", "tpu", "axon"):
+            return False
+        D = self.embedding_dim
+        n_heads = int(self.config.get("num_heads", 2))
+        return n_rows % 4 == 0 and D % n_heads == 0
+
     def _local_from_emb(self, emb, item_seq, train):
         L = item_seq.shape[1]
         seq_emb = emb + self.position_embedding[None, :L]
         seq_emb = self.input_layer_norm(seq_emb)
         seq_emb = self.input_dropout(seq_emb, deterministic=not train)
+        if self._use_fused_encoder(item_seq.shape[0]):
+            from ...ops.kernels.embedding_grad import _interpret
+            from ...ops.kernels.fused_encoder import (fused_encoder,
+                                                      pack_params)
+
+            cfg = self.config
+            n_layers = int(cfg.get("num_blocks", 3))
+            packed = pack_params(
+                self.local_encoder.variables["params"], n_layers)
+            if train:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, jnp.iinfo(jnp.int32).max)
+            else:
+                seed = jnp.int32(0)
+            return fused_encoder(
+                seq_emb, packed, (item_seq != 0), seed, n_layers,
+                int(cfg.get("num_heads", 2)), int(cfg.get("ffn_hidden", 128)),
+                self.hidden_dropout if train else 0.0,
+                float(cfg.get("attn_dropout", 0.5)) if train else 0.0,
+                float(cfg.get("layer_norm_eps", 1e-12)), train, 4,
+                _interpret())
         return self.local_encoder(seq_emb, self._causal_mask(item_seq), train)
 
     def _local_encoding(self, item_seq, train):
