@@ -49,14 +49,14 @@ EXPECTED = {
     "MMOE": 1_629_000,
     "SASRec": 45_200,     # r04, RBG step rng
     "GRU4Rec": 58_400,
-    "IOCRec": 9_200,      # r04, RBG rng + shared encoder lookup
+    "IOCRec": 10_200,     # r04, host augs + fused encoder + fused update
     "SRGNN": 61_100,      # r04, host session graph + fused table-Adam
 }
 REGRESSION_TOLERANCE = 0.15
 
 # Models whose fused table-Adam step MUST engage at the bench shape; a None
 # return from maybe_enable_*_fused_update is a hard failure, not a fallback.
-MUST_FUSE = {"DeepFM", "WDL", "MMOE", "SASRec", "GRU4Rec", "SRGNN"}
+MUST_FUSE = {"DeepFM", "WDL", "MMOE", "SASRec", "GRU4Rec", "SRGNN", "IOCRec"}
 
 
 def _log(msg):
@@ -153,6 +153,18 @@ def bench_sequence(name, steps=20, extra_config=None):
 
         attach_session_graph(batch)
         attach_item_plan(batch, SEQ_V + 1, SEQ_D, ids_key="graph_nodes")
+    elif getattr(model, "host_aug", False):
+        # IOCRec-style contrastive models: host-side augmented views make
+        # the [3B, L] lookup plannable (and the fused update applicable)
+        from rec_pangu_tpu.models.sequence.contrarec import \
+            host_augment_sequences
+
+        hist = batch["hist_item_list"]
+        aug_rng = np.random.default_rng(7)
+        aug1 = host_augment_sequences(aug_rng, hist, 3.0, 3.0, SEQ_V - 1)
+        aug2 = host_augment_sequences(aug_rng, hist, 3.0, 3.0, SEQ_V - 1)
+        batch["aug_all"] = np.concatenate([hist, aug1, aug2], axis=0)
+        attach_item_plan(batch, SEQ_V + 1, SEQ_D, ids_key="aug_all")
     else:
         attach_item_plan(batch, SEQ_V + 1, SEQ_D)
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),

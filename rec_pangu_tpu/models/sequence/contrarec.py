@@ -40,6 +40,33 @@ def _fast_beta(rng: jax.Array, a: float, b: float, shape) -> jnp.ndarray:
     return ga / (ga + gb)
 
 
+def host_augment_sequences(rng, item_seq, beta_a: float, beta_b: float,
+                           mask_token: int):
+    """NumPy twin of :func:`augment_sequences` — same per-sample 50%
+    mask-op / 50% reorder-op distribution, drawn from a host ``rng``
+    (np.random.Generator).  Running the augmentation on host makes the
+    augmented ids host-visible, so the trainer can build an embedding sort
+    plan over the [3B, L] lookup and the fused table-Adam path applies
+    (contrastive models were otherwise stuck with device-generated ids)."""
+    import numpy as np
+
+    hist = np.asarray(item_seq)
+    B, L = hist.shape
+    ratio = rng.beta(beta_a, beta_b, (B, 1))
+    masked = np.where(rng.random((B, L)) < ratio, mask_token, hist)
+    w = (ratio[:, 0] * L).astype(np.int32)
+    start = (rng.random(B) * (L - w + 1)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(L)[None, :], (B, L))
+    in_window = (pos >= start[:, None]) & (pos < (start + w)[:, None])
+    noise = rng.uniform(-0.4, 0.4, (B, L))
+    keys = np.where(in_window, pos + noise * w[:, None],
+                    pos.astype(np.float64))
+    perm = np.argsort(keys, axis=1)
+    reordered = np.take_along_axis(hist, perm, axis=1)
+    choose_mask = rng.random((B, 1)) > 0.5
+    return np.where(choose_mask, masked, reordered).astype(hist.dtype)
+
+
 def augment_sequences(rng: jax.Array, item_seq: jnp.ndarray, beta_a: float,
                       beta_b: float, mask_token: int) -> jnp.ndarray:
     """Per-sample: 50% mask-op, 50% reorder-op (contrarec.py:169-176)."""

@@ -101,6 +101,14 @@ class DisentangleEncoder(nn.Module):
 
 @register_model("IOCRec")
 class IOCRec(SequenceModelBase):
+    # With HOST-side augmentations (trainer attaches batch["aug_all"] =
+    # [hist; aug1; aug2] plus an embedding sort plan over it), the only
+    # item-table uses are the planned [3B, L] lookup and the K-max CE — both
+    # captured by the fused-update step (train/fused_update.py).
+    fused_update_compatible = True
+    host_aug = True
+    fused_lookup_key = "aug_all"
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -191,12 +199,14 @@ class IOCRec(SequenceModelBase):
         return self._local_from_emb(
             self.item_emb(item_seq, prefer_kernel_grad=True), item_seq, train)
 
-    def _intention_emb(self, item_seq, seq_len, train):
+    def _intention_emb(self, item_seq, seq_len, train, plan=None):
         # ONE table gather serves both encoders (the reference looks the
         # sequence up once per encoder, iocrec.py:216,350+; the lookup's
         # sorted-segment backward is ~10.7 ms at the bench shape, so sharing
-        # it halves that cost)
-        emb = self.item_emb(item_seq, prefer_kernel_grad=True)
+        # it halves that cost).  ``plan`` is the host sort plan over these
+        # ids (host-augmented batches); without it, device-generated ids
+        # fall back to the sorted-segment kernel.
+        emb = self.item_emb(item_seq, plan, prefer_kernel_grad=plan is None)
         local_emb = self._local_from_emb(emb, item_seq, train)
         global_emb = self.global_seq_encoder(emb, train)
         return self.disentangle_encoder(local_emb, global_emb, seq_len)  # [B,K,L,D]
@@ -213,13 +223,22 @@ class IOCRec(SequenceModelBase):
             # small per-view shapes and drops two dispatches).  Every op in
             # _intention_emb is batch-parallel, so rows are identical to
             # three separate passes (pinned by test_iocrec_batch_concat).
-            rng = self.make_rng("dropout")
-            r1, r2 = jax.random.split(rng)
-            aug1 = augment_sequences(r1, item_seq, 3.0, 3.0, self.mask_token)
-            aug2 = augment_sequences(r2, item_seq, 3.0, 3.0, self.mask_token)
-            all_seq = jnp.concatenate([item_seq, aug1, aug2], axis=0)
+            plan = None
+            if "aug_all" in batch:
+                # host-augmented views: ids are host-visible, the sort plan
+                # covers the [3B, L] lookup, and the fused update applies
+                all_seq = batch["aug_all"]
+                plan = batch.get("emb_plan")
+            else:
+                rng = self.make_rng("dropout")
+                r1, r2 = jax.random.split(rng)
+                aug1 = augment_sequences(r1, item_seq, 3.0, 3.0,
+                                         self.mask_token)
+                aug2 = augment_sequences(r2, item_seq, 3.0, 3.0,
+                                         self.mask_token)
+                all_seq = jnp.concatenate([item_seq, aug1, aug2], axis=0)
             all_len = jnp.concatenate([seq_len, seq_len, seq_len], axis=0)
-            intention3 = self._intention_emb(all_seq, all_len, train)
+            intention3 = self._intention_emb(all_seq, all_len, train, plan)
             intention = intention3[:B]  # [B,K,L,D]
         else:
             intention = self._intention_emb(item_seq, seq_len, train)
@@ -234,8 +253,19 @@ class IOCRec(SequenceModelBase):
             import os
 
             from ...ops.softmax_ce import (_FUSED_MIN_VOCAB,
-                                           fused_multimax_softmax_ce)
+                                           fused_multimax_softmax_ce,
+                                           fused_multimax_softmax_ce_captured)
 
+            plan = batch.get("emb_plan")
+            cap = plan.get("capture") if isinstance(plan, dict) else None
+            if cap is not None and "ce_t" in cap:
+                # fused-update mode: the CE's table gradient routes to the
+                # zero capture leaf; the table itself is out of autodiff
+                out["loss"] = (fused_multimax_softmax_ce_captured(
+                    user_emb, jax.lax.stop_gradient(candidates), item,
+                    cap["ce_t"], self.item_emb.table.shape[0])
+                    + self.lamda * self._cl_loss(intention3, B))
+                return out
             flag = os.environ.get("REC_PANGU_TPU_FUSED_CE", "auto")
             use_fused = (flag == "1") or (
                 flag not in ("0", "off", "false")
@@ -252,8 +282,10 @@ class IOCRec(SequenceModelBase):
                 rec_loss = -jnp.mean(
                     jnp.take_along_axis(logp, item[:, None], axis=1))
 
-            d1 = intention3[B:2 * B].reshape(B * self.k_intention, -1)
-            d2 = intention3[2 * B:].reshape(B * self.k_intention, -1)
-            cl_loss = info_nce_loss(d1, d2, self.tao)
-            out["loss"] = rec_loss + self.lamda * cl_loss
+            out["loss"] = rec_loss + self.lamda * self._cl_loss(intention3, B)
         return out
+
+    def _cl_loss(self, intention3, B):
+        d1 = intention3[B:2 * B].reshape(B * self.k_intention, -1)
+        d2 = intention3[2 * B:].reshape(B * self.k_intention, -1)
+        return info_nce_loss(d1, d2, self.tao)

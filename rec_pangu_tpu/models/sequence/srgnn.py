@@ -42,6 +42,7 @@ class SRGNN(SequenceModelBase):
     # lookup + the full-softmax CE, so the fused table-Adam step applies.
     session_graph = True
     fused_update_compatible = True
+    fused_lookup_key = "graph_nodes"
 
     def setup(self):
         self.setup_base()

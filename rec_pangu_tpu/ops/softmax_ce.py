@@ -197,6 +197,41 @@ def _multimax_bwd(res, g):
 fused_multimax_softmax_ce.defvjp(_multimax_fwd, _multimax_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# capture variant for the fused-update train step (multi-interest models)
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_multimax_softmax_ce_captured(user_embs, items, pos_item, cap_t,
+                                       table_rows: int):
+    """``fused_multimax_softmax_ce`` whose item-table gradient routes to
+    ``cap_t`` ([D, table_rows] zeros) instead of ``items`` — the seq
+    fused-update step (train/fused_update.py) feeds that cotangent straight
+    into the planned-Adam kernel.  Callers pass ``items`` under
+    ``stop_gradient`` (typically ``output_items()``, whose zeroed row 0 the
+    backward preserves: d row0 is pinned to 0)."""
+    return _multimax_fwd(user_embs, items, pos_item)[0]
+
+
+def _multimax_cap_fwd(user_embs, items, pos_item, cap_t, table_rows):
+    loss, res = _multimax_fwd(user_embs, items, pos_item)
+    return loss, res
+
+
+def _multimax_cap_bwd(table_rows, res, g):
+    du, d_items, _ = _multimax_bwd(res, g)
+    v, d = d_items.shape
+    # row 0 is the zeroed padding row of output_items(): its forward value
+    # is identically 0, so the table gets no gradient through it
+    d_items = d_items.at[0].set(0.0)
+    d_items_t = jnp.zeros((d, table_rows), jnp.float32).at[:, :v].set(
+        d_items.T)
+    return du, jnp.zeros((v, d), jnp.float32), None, d_items_t
+
+
+fused_multimax_softmax_ce_captured.defvjp(_multimax_cap_fwd,
+                                          _multimax_cap_bwd)
+
+
 def _forward_lse(user, items):
     items_p, v, v_pad = _pad_items(items)
     chunks = items_p.reshape(v_pad // CHUNK_V, CHUNK_V, -1)

@@ -288,7 +288,8 @@ def seq_fused_applicable(model, params, sample_batch,
     cfg = getattr(model, "config", None) or {}
     if cfg.get("loss_type", "full") != "full":
         return None
-    hist = sample_batch.get("hist_item_list")
+    ids_key = getattr(model, "fused_lookup_key", "hist_item_list")
+    hist = sample_batch.get(ids_key)
     plan = sample_batch.get("emb_plan")
     if hist is None or plan is None:
         return None
@@ -349,7 +350,9 @@ def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
         plan = batch["emb_plan"]
         rows_sharded = getattr(plan["meta"], "ndim", 1) == 2  # trace-static
         gplan = batch.get("emb_plan_global", plan)
-        hist = batch["hist_item_list"]
+        # the ids the PLAN covers (graph_nodes for the session-graph family,
+        # aug_all for host-augmented contrastive models, hist otherwise)
+        hist = batch[getattr(model, "fused_lookup_key", "hist_item_list")]
         n = int(np.prod(hist.shape))
 
         def loss_fn(params, cap):

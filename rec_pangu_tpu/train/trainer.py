@@ -144,6 +144,30 @@ class _BaseTrainer:
             vocab = int(enc[item_col][OOV_SENTINEL])
             dim = int(cfg["embedding_dim"])
             ids_key = "hist_item_list"
+            if getattr(model, "host_aug", False):
+                if not for_train:
+                    return batch  # eval forward takes no plan
+                if n_shards:
+                    # under a DP mesh the [3B] = [hist; aug1; aug2] stack
+                    # would row-split across views — keep device augmentation
+                    # (unfused) there
+                    return batch
+                from ..models.sequence.contrarec import host_augment_sequences
+
+                if "aug_all" not in batch:
+                    hist = np.asarray(batch["hist_item_list"])
+                    mask_token = vocab - 1
+                    rng = getattr(self, "_aug_rng", None)
+                    if rng is None:
+                        rng = self._aug_rng = np.random.default_rng(10_301)
+                    aug1 = host_augment_sequences(rng, hist, 3.0, 3.0,
+                                                  mask_token)
+                    aug2 = host_augment_sequences(rng, hist, 3.0, 3.0,
+                                                  mask_token)
+                    batch["aug_all"] = np.concatenate([hist, aug1, aug2],
+                                                      axis=0)
+                return attach_item_plan(batch, vocab, dim, force=force,
+                                        ids_key="aug_all")
             if getattr(model, "session_graph", False):
                 # SRGNN family: build nodes/alias on host (ops/graph.py) so
                 # the lookup ids are host-visible — the sort plan (and the

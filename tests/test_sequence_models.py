@@ -257,3 +257,51 @@ def test_srgnn_fused_update_engages(tmp_path, monkeypatch):
                     _jax.tree_util.tree_leaves(tr2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_iocrec_fused_update_engages(tmp_path, monkeypatch):
+    """With host-side augmented views + the [3B] lookup plan, IOCRec is
+    fused_update_compatible: the fused step must engage and train to the
+    same params as the standard path on identical augmentations (r4)."""
+    from rec_pangu_tpu.train import SequenceTrainer
+
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "0")  # isolate update
+    VOCAB_BIG, B_BIG, L_BIG = 65537, 512, 8
+    rng = np.random.default_rng(3)
+    lens = rng.integers(2, L_BIG + 1, B_BIG)
+    hist = np.zeros((B_BIG, L_BIG), dtype=np.int32)
+    mask = np.zeros((B_BIG, L_BIG), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, VOCAB_BIG, n)
+        mask[i, :n] = 1.0
+    batch = {"hist_item_list": hist, "hist_mask_list": mask,
+             "target_item": rng.integers(1, VOCAB_BIG, B_BIG).astype(np.int32)}
+    enc = {"item_id": {"vocab_size": VOCAB_BIG}}
+    cfg = {"embedding_dim": 8, "max_length": L_BIG, "item_col": "item_id",
+           "cate_cols": [], "device": -1, "K": 2, "num_blocks": 1,
+           "num_heads": 2}
+
+    def run(fused, tag):
+        if not fused:
+            monkeypatch.setenv("REC_PANGU_TPU_FUSED_ADAM", "0")
+        model = get_model("IOCRec")(enc_dict=enc, config=dict(cfg))
+        tr = SequenceTrainer(model_ckpt_dir=str(tmp_path / tag))
+        tr._aug_rng = np.random.default_rng(99)  # identical augs both runs
+        # ONE step: beyond it the K-max argmax + InfoNCE make the
+        # trajectory chaotic and tiny kernel-order deltas amplify
+        tr.fit(model, [dict(batch)], None, epoch=1, lr=1e-2, seed=5)
+        if not fused:
+            monkeypatch.delenv("REC_PANGU_TPU_FUSED_ADAM")
+        return tr
+
+    t_fused = run(True, "fused")
+    assert getattr(t_fused, "_fused_step", None) is not None, \
+        "IOCRec fused seq path did not engage"
+    t_std = run(False, "std")
+    assert getattr(t_std, "_fused_step", None) is None
+    import jax as _jax
+    for a, b in zip(_jax.tree_util.tree_leaves(t_fused.state.params),
+                    _jax.tree_util.tree_leaves(t_std.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=5e-7)
