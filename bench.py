@@ -191,7 +191,8 @@ def selftest():
     repo = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["REC_PANGU_TPU_TEST_BACKEND"] = "device"
-    tests = ["tests/test_kernels.py", "tests/test_fused_adam.py"]
+    tests = ["tests/test_kernels.py", "tests/test_fused_adam.py",
+             "tests/test_fused_encoder.py"]
     try:
         proc = subprocess.run(
             [sys.executable, "-m", "pytest", *tests, "-q", "--no-header"],

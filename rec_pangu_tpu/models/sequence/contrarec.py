@@ -94,6 +94,14 @@ def augment_sequences(rng: jax.Array, item_seq: jnp.ndarray, beta_a: float,
 
 @register_model("ContraRec")
 class ContraRec(SequenceModelBase):
+    # With host-side augmentations (batch["aug_all"] = [hist; aug1; aug2]
+    # + a sort plan over it) the only table uses are the planned [3B, L]
+    # lookup and the full-softmax CE — fused-update eligible (the contra
+    # loss consumes activations and target ids only).
+    fused_update_compatible = True
+    host_aug = True
+    fused_lookup_key = "aug_all"
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -122,6 +130,25 @@ class ContraRec(SequenceModelBase):
     def __call__(self, batch, train: bool = True):
         item_seq = batch["hist_item_list"]
         lengths = jnp.sum(batch["hist_mask_list"], axis=1).astype(jnp.int32)
+        B = item_seq.shape[0]
+        if train and "aug_all" in batch:
+            # host-augmented views: ONE planned [3B, L] lookup + ONE [3B]
+            # encoder pass serve the main view and both augmentations; the
+            # sort plan covers the lookup so the fused update applies
+            plan = batch.get("emb_plan")
+            all_seq = batch["aug_all"]
+            all_len = jnp.concatenate([lengths, lengths, lengths], axis=0)
+            enc3 = self._encode(self.item_emb(all_seq, plan), all_len, train)
+            user_emb = enc3[:B]
+            emb12 = enc3[B:]
+            out = {"user_emb": user_emb}
+            item = batch["target_item"]
+            features = safe_l2norm(
+                jnp.stack([emb12[:B], emb12[B:]], axis=1))
+            out["loss"] = self.calculate_loss(user_emb, item, plan) + \
+                self.gamma * contrarec_contra_loss(features, item,
+                                                   self.ccc_temp)
+            return out
         seq_emb = self.item_emb(item_seq, batch.get("emb_plan"))
         user_emb = self._encode(seq_emb, lengths, train)
         out = {"user_emb": user_emb}
@@ -138,7 +165,6 @@ class ContraRec(SequenceModelBase):
             # encoder op is batch-parallel, so rows match two separate
             # passes.  Device-generated ids: no host plan exists; the
             # sorted-segment kernel backs their gradients (FAST_SCATTER auto)
-            B = item_seq.shape[0]
             both = jnp.concatenate([aug1, aug2], axis=0)
             emb12 = self._encode(
                 self.item_emb(both, prefer_kernel_grad=True),

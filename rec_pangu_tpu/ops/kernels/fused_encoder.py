@@ -283,12 +283,15 @@ def _bwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, dy_ref, *refs,
         gr[...] += val
 
 
-def _static_mask(tb: int, L: int) -> np.ndarray:
-    """[TB*L, TB*L] bool: same-sample AND causal."""
+def _static_mask(tb: int, L: int, causal: bool) -> np.ndarray:
+    """[TB*L, TB*L] bool: same-sample (AND causal when requested)."""
     r = np.arange(tb * L)
     sample = r // L
-    pos = r % L
-    return (sample[:, None] == sample[None, :]) & (pos[:, None] >= pos[None, :])
+    m = sample[:, None] == sample[None, :]
+    if causal:
+        pos = r % L
+        m = m & (pos[:, None] >= pos[None, :])
+    return m
 
 
 def _pack_call(x_flat, kvalid_flat, smask, seed_arr, params, dy=None, *, N,
@@ -346,21 +349,22 @@ def _pack_call(x_flat, kvalid_flat, smask, seed_arr, params, dy=None, *, N,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def fused_encoder(x, params, key_valid, seed, n_layers, n_heads, inner,
-                  hdrop, adrop, eps, train, tb, interpret):
+                  hdrop, adrop, eps, train, tb, interpret, causal=True):
     """x [N, L, D] f32; params tuple of 8 stacked arrays (see pack_params);
     key_valid [N, L] {0,1}; seed a TRACED int32 scalar (dropout stream —
-    changing it does not retrace).  Returns y [N, L, D]."""
+    changing it does not retrace).  ``causal=False`` gives the
+    bidirectional (BERT4Rec-style) padding-only mask.  Returns y [N, L, D]."""
     y, _ = _fe_fwd(x, params, key_valid, seed, n_layers, n_heads, inner,
-                   hdrop, adrop, eps, train, tb, interpret)
+                   hdrop, adrop, eps, train, tb, interpret, causal)
     return y
 
 
 def _fe_fwd(x, params, key_valid, seed, n_layers, n_heads, inner, hdrop,
-            adrop, eps, train, tb, interpret):
+            adrop, eps, train, tb, interpret, causal=True):
     N, L, D = x.shape
-    smask = jnp.asarray(_static_mask(tb, L))
+    smask = jnp.asarray(_static_mask(tb, L, causal))
     x_flat = x.reshape(N * L, D)
     kv = key_valid.astype(jnp.int32).reshape(N * L, 1)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -372,10 +376,10 @@ def _fe_fwd(x, params, key_valid, seed, n_layers, n_heads, inner, hdrop,
 
 
 def _fe_bwd(n_layers, n_heads, inner, hdrop, adrop, eps, train, tb,
-            interpret, res, dy):
+            interpret, causal, res, dy):
     x, params, key_valid, seed_arr = res
     N, L, D = x.shape
-    smask = jnp.asarray(_static_mask(tb, L))
+    smask = jnp.asarray(_static_mask(tb, L, causal))
     x_flat = x.reshape(N * L, D)
     kv = key_valid.astype(jnp.int32).reshape(N * L, 1)
     outs = _pack_call(x_flat, kv, smask, seed_arr, params,

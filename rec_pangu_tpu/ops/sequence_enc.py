@@ -109,13 +109,49 @@ class BERT4RecEncoder(nn.Module):
                          embedding_init=torch_kaiming_normal(),
                          name="p_embeddings")(position)
         x = seq + p_emb
-        attn_mask = valid[:, None, None, :]  # bidirectional padding mask
-        x = TransformerEncoder(self.num_layers, self.num_heads, inner_size=H,
-                               hidden_dropout_prob=0.0, attn_dropout_prob=0.0,
-                               hidden_act="relu")(x, attn_mask, train)
+        enc = TransformerEncoder(self.num_layers, self.num_heads, inner_size=H,
+                                 hidden_dropout_prob=0.0, attn_dropout_prob=0.0,
+                                 hidden_act="relu")
+        if self._use_fused(B, H):
+            from .kernels.embedding_grad import _interpret
+            from .kernels.fused_encoder import fused_encoder, pack_params
+
+            # params exist from the flax path taken at init time (the
+            # _use_fused gate keeps init there); read them by module name
+            packed = pack_params(
+                self.variables["params"]["TransformerEncoder_0"],
+                self.num_layers)
+            x = fused_encoder(x, packed, valid, jnp.int32(0),
+                              self.num_layers, self.num_heads, H, 0.0, 0.0,
+                              1e-12, False, 4, _interpret(), False)
+        else:
+            attn_mask = valid[:, None, None, :]  # bidirectional padding mask
+            x = enc(x, attn_mask, train)
         x = x * valid[:, :, None]
         idx = jnp.clip(lengths - 1, 0, L - 1)
         return jnp.take_along_axis(x, idx[:, None, None].repeat(H, axis=2), axis=1)[:, 0]
+
+    def _use_fused(self, n_rows: int, H: int) -> bool:
+        """Fused Pallas encoder gate (this encoder has NO dropout, so the
+        kernel always runs deterministic — same numerics as the flax path
+        within matmul tolerance)."""
+        import os
+
+        flag = os.environ.get("REC_PANGU_TPU_FUSED_ENCODER", "auto")
+        if flag in ("0", "off", "false"):
+            return False
+        if self.is_initializing():
+            return False
+        import jax as _jax
+
+        from .kernels.embedding_grad import _interpret
+
+        backend = _jax.default_backend()
+        if backend == "cpu" and not _interpret():
+            return flag in ("1", "on", "true")
+        if backend not in ("cpu", "tpu", "axon"):
+            return False
+        return n_rows % 4 == 0 and H % self.num_heads == 0
 
 
 # --------------------------------------------------------------------------- #

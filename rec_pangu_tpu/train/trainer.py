@@ -157,12 +157,14 @@ class _BaseTrainer:
                 if "aug_all" not in batch:
                     hist = np.asarray(batch["hist_item_list"])
                     mask_token = vocab - 1
+                    beta_a = float(cfg.get("beta_a", 3.0))
+                    beta_b = float(cfg.get("beta_b", 3.0))
                     rng = getattr(self, "_aug_rng", None)
                     if rng is None:
                         rng = self._aug_rng = np.random.default_rng(10_301)
-                    aug1 = host_augment_sequences(rng, hist, 3.0, 3.0,
+                    aug1 = host_augment_sequences(rng, hist, beta_a, beta_b,
                                                   mask_token)
-                    aug2 = host_augment_sequences(rng, hist, 3.0, 3.0,
+                    aug2 = host_augment_sequences(rng, hist, beta_a, beta_b,
                                                   mask_token)
                     batch["aug_all"] = np.concatenate([hist, aug1, aug2],
                                                       axis=0)

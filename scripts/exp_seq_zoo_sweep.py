@@ -57,6 +57,16 @@ def bench_one(name):
 
         attach_session_graph(batch)
         attach_item_plan(batch, V + 1, D, ids_key="graph_nodes")
+    elif getattr(model, "host_aug", False):
+        from rec_pangu_tpu.models.sequence.contrarec import \
+            host_augment_sequences
+
+        aug_rng = np.random.default_rng(7)
+        hist = batch["hist_item_list"]
+        aug1 = host_augment_sequences(aug_rng, hist, 3.0, 3.0, V - 1)
+        aug2 = host_augment_sequences(aug_rng, hist, 3.0, 3.0, V - 1)
+        batch["aug_all"] = np.concatenate([hist, aug1, aug2], axis=0)
+        attach_item_plan(batch, V + 1, D, ids_key="aug_all")
     else:
         attach_item_plan(batch, V + 1, D)
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),

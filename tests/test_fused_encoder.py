@@ -111,3 +111,23 @@ def test_iocrec_fused_encoder_forward_equal(monkeypatch):
     np.testing.assert_allclose(np.asarray(got["user_emb"]),
                                np.asarray(ref["user_emb"]),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_bert4rec_fused_encoder_forward_equal(monkeypatch):
+    """BERT4RecEncoder through the fused kernel (bidirectional mask, no
+    dropout) equals the flax path."""
+    from rec_pangu_tpu.ops.sequence_enc import BERT4RecEncoder
+
+    rng = np.random.default_rng(0)
+    B, L2, H = 16, 12, 8
+    seq = jnp.asarray(rng.standard_normal((B, L2, H)), jnp.float32)
+    lengths = jnp.asarray(rng.integers(1, L2 + 1, B), jnp.int32)
+    enc = BERT4RecEncoder(max_his=L2, num_layers=2, num_heads=2)
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "0")
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, seq, lengths, False)
+    ref = enc.apply(variables, seq, lengths, False)
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "1")
+    got = enc.apply(variables, seq, lengths, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
