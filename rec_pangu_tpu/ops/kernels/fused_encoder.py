@@ -67,10 +67,17 @@ def _ln_bwd(x, g, eps, dy):
 
 
 def _drop_mask(shape, rate):
-    """Multiplicative inverted-dropout mask from the on-chip PRNG."""
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    thresh = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    keep = bits >= thresh
+    """Multiplicative inverted-dropout mask from the on-chip PRNG.
+
+    ``prng_random_bits`` yields int32 BIT PATTERNS; comparing them against a
+    uint32 threshold silently promotes through int32 overflow (the uint
+    2^31 becomes INT32_MIN, making every element "keep" — caught by the
+    chip-lane seed-sensitivity test).  xor with the sign bit is the
+    monotonic uint->int map, after which a signed compare is exact."""
+    bits = pltpu.prng_random_bits(shape)
+    t_u = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    flipped = jnp.bitwise_xor(bits.astype(jnp.int32), jnp.int32(-(1 << 31)))
+    keep = flipped >= jnp.int32(t_u - (1 << 31))
     return keep.astype(jnp.float32) / (1.0 - rate)
 
 

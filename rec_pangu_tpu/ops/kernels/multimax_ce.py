@@ -144,6 +144,10 @@ def _grid_call(u_t, items_p, valid_v, tile_v, interpret, lse=None):
                 pltpu.VMEM((b, 1), jnp.float32),        # running max
                 pltpu.VMEM((b, 1), jnp.float32),        # running sum
             ],
+            # narrow-D shapes lane-pad every [T, D] buffer to 128 lanes,
+            # which can push the scoped default (16 MB) at the max tile
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(u_t, items_p)
     return pl.pallas_call(
@@ -161,6 +165,8 @@ def _grid_call(u_t, items_p, valid_v, tile_v, interpret, lse=None):
         ],
         out_shape=[jax.ShapeDtypeStruct((k, b, d), jnp.float32),
                    jax.ShapeDtypeStruct((v_pad, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(u_t, items_p, lse)
 
