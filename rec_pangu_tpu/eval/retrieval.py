@@ -73,6 +73,33 @@ def merge_multi_interest(ids: np.ndarray, scores: np.ndarray, topn: int) -> List
     return seen
 
 
+def batched_merge_multi_interest_np(ids: np.ndarray, scores: np.ndarray,
+                                    topn: int):
+    """NumPy twin of :func:`batched_merge_multi_interest` — the production
+    eval path.  Batched C argsorts + fancy indexing merge the whole batch in
+    a few ms; the device version's per-element scatters are row-serial on
+    TPU (measured 5.7 s per 512-user batch over the tunneled chip vs ~6 ms
+    here), so the merge runs on host where it is cheapest."""
+    b, n = ids.shape
+    key = np.where(ids == 0, -np.inf, scores.astype(np.float64))
+    order = np.argsort(-key, axis=1, kind="stable")
+    ids_s = np.take_along_axis(ids, order, axis=1)
+    ord2 = np.argsort(ids_s, axis=1, kind="stable")
+    ids_g = np.take_along_axis(ids_s, ord2, axis=1)
+    first_g = np.concatenate(
+        [np.ones((b, 1), bool), ids_g[:, 1:] != ids_g[:, :-1]], axis=1)
+    rows = np.arange(b)[:, None]
+    keep = np.zeros((b, n), bool)
+    keep[rows, ord2] = first_g
+    keep &= ids_s != 0
+    pos = np.cumsum(keep, axis=1) - 1
+    valid = keep & (pos < topn)
+    merged = np.zeros((b, topn), ids.dtype)
+    merged[np.nonzero(valid)[0], pos[valid]] = ids_s[valid]
+    counts = np.minimum(keep.sum(axis=1), topn)
+    return merged, counts
+
+
 @functools.partial(jax.jit, static_argnames=("topn",))
 def batched_merge_multi_interest(ids: jnp.ndarray, scores: jnp.ndarray,
                                  topn: int):
@@ -150,10 +177,9 @@ def get_recall_predict(model, variables, test_loader, topn: int = 200,
         else:
             B, K, D = user_embs.shape
             scores, ids = scorer(user_embs.reshape(B * K, D))
-            merged, counts = batched_merge_multi_interest(
-                jnp.asarray(ids).reshape(B, -1),
-                jnp.asarray(scores).reshape(B, -1), topn)
-            merged, counts = np.asarray(merged), np.asarray(counts)
+            merged, counts = batched_merge_multi_interest_np(
+                np.asarray(ids).reshape(B, -1),
+                np.asarray(scores).reshape(B, -1), topn)
             for i, u in enumerate(users):
                 preds[str(u)] = merged[i, :counts[i]].tolist()
     return preds

@@ -13,6 +13,7 @@ enable_compilation_cache()
 import jax.numpy as jnp
 
 from rec_pangu_tpu.eval.retrieval import (batched_merge_multi_interest,
+                                          batched_merge_multi_interest_np,
                                           merge_multi_interest)
 
 B, K, TOPN, V = 512, 4, 200, 200_000
@@ -37,5 +38,14 @@ t_dev = (time.perf_counter() - t0) / 10
 merged_np, counts_np = np.asarray(merged), np.asarray(counts)
 for i in range(0, B, 97):
     assert merged_np[i, :counts_np[i]].tolist() == loop_out[i], i
-print(f"python per-user loop: {t_loop * 1e3:.1f} ms for {B} users")
-print(f"batched device merge: {t_dev * 1e3:.2f} ms  ({t_loop / t_dev:.0f}x)")
+
+t0 = time.perf_counter()
+for _ in range(10):
+    m2, c2 = batched_merge_multi_interest_np(
+        ids.reshape(B, -1), scores.reshape(B, -1), TOPN)
+t_np = (time.perf_counter() - t0) / 10
+for i in range(0, B, 97):
+    assert m2[i, :c2[i]].tolist() == loop_out[i], i
+print(f"python per-user loop : {t_loop * 1e3:.1f} ms for {B} users")
+print(f"batched device merge : {t_dev * 1e3:.2f} ms  ({t_loop / t_dev:.1f}x)")
+print(f"batched numpy merge  : {t_np * 1e3:.2f} ms  ({t_loop / t_np:.0f}x)")

@@ -91,7 +91,13 @@ def test_batched_merge_matches_oracle(seed):
         jnp.asarray(ids.reshape(B, -1)), jnp.asarray(scores.reshape(B, -1)),
         topn)
     merged, counts = np.asarray(merged), np.asarray(counts)
+    from rec_pangu_tpu.eval.retrieval import batched_merge_multi_interest_np
+
+    merged_np, counts_np = batched_merge_multi_interest_np(
+        ids.reshape(B, -1), scores.reshape(B, -1), topn)
     for i in range(B):
         expect = merge_multi_interest(ids[i], scores[i], topn)
         assert merged[i, :counts[i]].tolist() == expect
         assert not merged[i, counts[i]:].any()
+        assert merged_np[i, :counts_np[i]].tolist() == expect
+        assert not merged_np[i, counts_np[i]:].any()
