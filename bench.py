@@ -47,7 +47,7 @@ EXPECTED = {
     "DeepFM": 1_686_000,  # r04 sweep (1,686,970 measured)
     "WDL": 1_076_000,
     "MMOE": 1_629_000,
-    "SASRec": 45_200,     # r04, RBG step rng
+    "SASRec": 46_500,     # r04, RBG rng + fused encoder (47.8k measured)
     "GRU4Rec": 58_400,
     "IOCRec": 10_200,     # r04, host augs + fused encoder + fused update
     "SRGNN": 61_100,      # r04, host session graph + fused table-Adam

@@ -30,7 +30,11 @@ class SASRec(SequenceModelBase):
         lengths = jnp.sum(mask, axis=-1).astype(jnp.int32)
         seq_emb = self.item_emb(batch["hist_item_list"], batch.get("emb_plan"))
         attn_mask = self.get_attention_mask(mask.astype(seq_emb.dtype))
-        output = self.self_attention(seq_emb, attn_mask, train)
+        # key_valid routes the encoder through the fused Pallas kernel on
+        # TPU (the attn_mask IS causal x key-padding); attn_mask stays the
+        # flax fallback
+        output = self.self_attention(seq_emb, attn_mask, train,
+                                     key_valid=mask, causal=True)
         user_emb = self.gather_indexes(output, jnp.clip(lengths - 1, 0, None))
         out = {"user_emb": user_emb}
         if train:

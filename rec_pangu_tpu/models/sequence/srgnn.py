@@ -107,7 +107,8 @@ class GCSAN(SRGNN):
         idx = jnp.clip(lengths - 1, 0, None)
         ht = self.gather_indexes(seq_hidden, idx)
         attn_mask = self.get_attention_mask(mask.astype(seq_hidden.dtype))
-        output = self.self_attention(seq_hidden, attn_mask, train)
+        output = self.self_attention(seq_hidden, attn_mask, train,
+                                     key_valid=mask, causal=True)
         at = self.gather_indexes(output, idx)
         seq_output = self.weight * at + (1 - self.weight) * ht
         out = {"user_emb": seq_output}

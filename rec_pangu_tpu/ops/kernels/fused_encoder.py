@@ -66,6 +66,32 @@ def _ln_bwd(x, g, eps, dy):
     return dx, dg, db
 
 
+def _act_fn(h, act: str):
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    if act == "gelu":  # tanh approximation — matches flax nn.gelu default
+        c = 0.7978845608028654  # sqrt(2/pi)
+        return 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h)))
+    if act in ("swish", "silu"):
+        return h * jax.nn.sigmoid(h)
+    raise NotImplementedError(act)
+
+
+def _act_grad(h, act: str):
+    if act == "relu":
+        return (h > 0.0).astype(h.dtype)
+    if act == "gelu":
+        c = 0.7978845608028654
+        u = c * (h + 0.044715 * h * h * h)
+        t = jnp.tanh(u)
+        du = c * (1.0 + 3.0 * 0.044715 * h * h)
+        return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * du
+    if act in ("swish", "silu"):
+        sg = jax.nn.sigmoid(h)
+        return sg * (1.0 + h * (1.0 - sg))
+    raise NotImplementedError(act)
+
+
 def _drop_mask(shape, rate):
     """Multiplicative inverted-dropout mask from the on-chip PRNG.
 
@@ -112,7 +138,7 @@ def _attention(x, w, b, head_masks, add_mask, scale, attn_drop, train):
 
 
 def _encoder_fwd_tile(x, kv_add_mask, params, seed, t, *, n_layers, head_masks,
-                      scale, inner, hdrop, adrop, eps, train, want_saved):
+                      scale, inner, hdrop, adrop, eps, act, train, want_saved):
     """Run the full stack on one flat tile.  Returns (y, saved_per_layer)."""
     (wqkvo, bqkvo, w1, b1, w2, b2, ln_g, ln_b) = params
     if train and (hdrop > 0.0 or adrop > 0.0):
@@ -131,7 +157,7 @@ def _encoder_fwd_tile(x, kv_add_mask, params, seed, t, *, n_layers, head_masks,
         pre_ln1 = attn_out + x_in
         x1 = _ln(pre_ln1, ln_g[li, 0], ln_b[li, 0], eps)
         h = jnp.dot(x1, w1[li], preferred_element_type=jnp.float32) + b1[li]
-        hr = jnp.maximum(h, 0.0)
+        hr = _act_fn(h, act)
         f = jnp.dot(hr, w2[li], preferred_element_type=jnp.float32) + b2[li]
         if train and hdrop > 0.0:
             dm2 = _drop_mask(f.shape, hdrop)
@@ -147,7 +173,8 @@ def _encoder_fwd_tile(x, kv_add_mask, params, seed, t, *, n_layers, head_masks,
 
 
 def _fwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, *param_refs, out_ref,
-                n_layers, n_heads, L, D, inner, hdrop, adrop, eps, train):
+                n_layers, n_heads, L, D, inner, hdrop, adrop, eps, act,
+                train):
     t = pl.program_id(0)
     seed = seed_ref[0]
     TBL = x_ref.shape[0]
@@ -170,12 +197,14 @@ def _fwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, *param_refs, out_ref,
     y, _ = _encoder_fwd_tile(
         x, add_mask, params, seed, t, n_layers=n_layers,
         head_masks=head_masks, scale=1.0 / float(np.sqrt(dh)), inner=inner,
-        hdrop=hdrop, adrop=adrop, eps=eps, train=train, want_saved=False)
+        hdrop=hdrop, adrop=adrop, eps=eps, act=act, train=train,
+        want_saved=False)
     out_ref[...] = y
 
 
 def _bwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, dy_ref, *refs,
-                n_layers, n_heads, L, D, inner, hdrop, adrop, eps, train):
+                n_layers, n_heads, L, D, inner, hdrop, adrop, eps, act,
+                train):
     # refs = param_refs (8) then output refs: dx, then 8 param-grad refs
     seed = seed_ref[0]
     param_refs = refs[:8]
@@ -207,7 +236,7 @@ def _bwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, dy_ref, *refs,
     _, saved = _encoder_fwd_tile(
         x0, add_mask, params, seed, t, n_layers=n_layers,
         head_masks=head_masks, scale=scale, inner=inner, hdrop=hdrop,
-        adrop=adrop, eps=eps, train=train, want_saved=True)
+        adrop=adrop, eps=eps, act=act, train=train, want_saved=True)
 
     # per-(layer, slot) grads collected in PYTHON lists (static indices) and
     # stacked at the end — jnp .at[].add on values lowers to scatter-add,
@@ -235,7 +264,7 @@ def _bwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, dy_ref, *refs,
         g_b2[li] = jnp.sum(df, axis=0)
         g_w2[li] = jnp.dot(hr.T, df, preferred_element_type=jnp.float32)
         dhr = jnp.dot(df, w2[li].T, preferred_element_type=jnp.float32)
-        dh_ = dhr * (h > 0.0)
+        dh_ = dhr * _act_grad(h, act)
         g_b1[li] = jnp.sum(dh_, axis=0)
         g_w1[li] = jnp.dot(x1.T, dh_, preferred_element_type=jnp.float32)
         dx1 = dx1 + jnp.dot(dh_, w1[li].T, preferred_element_type=jnp.float32)
@@ -302,8 +331,8 @@ def _static_mask(tb: int, L: int, causal: bool) -> np.ndarray:
 
 
 def _pack_call(x_flat, kvalid_flat, smask, seed_arr, params, dy=None, *, N,
-               tb, L, D, n_layers, n_heads, inner, hdrop, adrop, eps, train,
-               interpret):
+               tb, L, D, n_layers, n_heads, inner, hdrop, adrop, eps, act,
+               train, interpret):
     n_tiles = N // tb
     R = tb * L
     tile_spec = pl.BlockSpec((R, D), lambda t: (t, 0),
@@ -315,7 +344,7 @@ def _pack_call(x_flat, kvalid_flat, smask, seed_arr, params, dy=None, *, N,
     p_specs = [pl.BlockSpec(p.shape, lambda t, nd=p.ndim: (0,) * nd,
                             memory_space=pltpu.VMEM) for p in params]
     kw = dict(n_layers=n_layers, n_heads=n_heads, L=L, D=D, inner=inner,
-              hdrop=hdrop, adrop=adrop, eps=eps, train=train)
+              hdrop=hdrop, adrop=adrop, eps=eps, act=act, train=train)
     if dy is None:
         def fwd(x_ref, kvalid_ref, smask_ref, seed_ref, *prefs_and_out):
             _fwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref,
@@ -356,20 +385,21 @@ def _pack_call(x_flat, kvalid_flat, smask, seed_arr, params, dy=None, *, N,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def fused_encoder(x, params, key_valid, seed, n_layers, n_heads, inner,
-                  hdrop, adrop, eps, train, tb, interpret, causal=True):
+                  hdrop, adrop, eps, train, tb, interpret, causal=True,
+                  act="relu"):
     """x [N, L, D] f32; params tuple of 8 stacked arrays (see pack_params);
     key_valid [N, L] {0,1}; seed a TRACED int32 scalar (dropout stream —
     changing it does not retrace).  ``causal=False`` gives the
     bidirectional (BERT4Rec-style) padding-only mask.  Returns y [N, L, D]."""
     y, _ = _fe_fwd(x, params, key_valid, seed, n_layers, n_heads, inner,
-                   hdrop, adrop, eps, train, tb, interpret, causal)
+                   hdrop, adrop, eps, train, tb, interpret, causal, act)
     return y
 
 
 def _fe_fwd(x, params, key_valid, seed, n_layers, n_heads, inner, hdrop,
-            adrop, eps, train, tb, interpret, causal=True):
+            adrop, eps, train, tb, interpret, causal=True, act="relu"):
     N, L, D = x.shape
     smask = jnp.asarray(_static_mask(tb, L, causal))
     x_flat = x.reshape(N * L, D)
@@ -377,13 +407,13 @@ def _fe_fwd(x, params, key_valid, seed, n_layers, n_heads, inner, hdrop,
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     y = _pack_call(x_flat, kv, smask, seed_arr, params, None, N=N, tb=tb,
                    L=L, D=D, n_layers=n_layers, n_heads=n_heads, inner=inner,
-                   hdrop=hdrop, adrop=adrop, eps=eps, train=train,
+                   hdrop=hdrop, adrop=adrop, eps=eps, act=act, train=train,
                    interpret=interpret)
     return y.reshape(N, L, D), (x, params, key_valid, seed_arr)
 
 
 def _fe_bwd(n_layers, n_heads, inner, hdrop, adrop, eps, train, tb,
-            interpret, causal, res, dy):
+            interpret, causal, act, res, dy):
     x, params, key_valid, seed_arr = res
     N, L, D = x.shape
     smask = jnp.asarray(_static_mask(tb, L, causal))
@@ -392,8 +422,8 @@ def _fe_bwd(n_layers, n_heads, inner, hdrop, adrop, eps, train, tb,
     outs = _pack_call(x_flat, kv, smask, seed_arr, params,
                       dy.reshape(N * L, D), N=N, tb=tb, L=L, D=D,
                       n_layers=n_layers, n_heads=n_heads, inner=inner,
-                      hdrop=hdrop, adrop=adrop, eps=eps, train=train,
-                      interpret=interpret)
+                      hdrop=hdrop, adrop=adrop, eps=eps, act=act,
+                      train=train, interpret=interpret)
     dx = outs[0].reshape(N, L, D)
     dparams = tuple(outs[1:])
     return dx, dparams, None, None

@@ -82,12 +82,54 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, train: bool = True):
+    def __call__(self, x, attn_mask=None, train: bool = True,
+                 key_valid=None, causal: bool = True):
+        """``key_valid`` ([B, L] {0,1}) opts into the fused Pallas encoder
+        (ops/kernels/fused_encoder.py) on TPU: callers whose ``attn_mask``
+        is exactly causal-x-key-padding (SASRec/GCSAN semantics) pass the
+        padding mask here; ``attn_mask`` remains the flax fallback."""
+        if key_valid is not None and self._use_fused(x):
+            from .kernels.embedding_grad import _interpret
+            from .kernels.fused_encoder import fused_encoder, pack_params
+
+            packed = pack_params(self.variables["params"], self.n_layers)
+            if train and (self.hidden_dropout_prob > 0
+                          or self.attn_dropout_prob > 0):
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, jnp.iinfo(jnp.int32).max)
+                hdrop, adrop = self.hidden_dropout_prob, self.attn_dropout_prob
+            else:
+                seed = jnp.int32(0)
+                hdrop = adrop = 0.0
+            return fused_encoder(x, packed, key_valid, seed, self.n_layers,
+                                 self.n_heads, self.inner_size, hdrop, adrop,
+                                 self.layer_norm_eps, train, 4, _interpret(),
+                                 causal, self.hidden_act)
         for _ in range(self.n_layers):
             x = TransformerBlock(self.n_heads, self.inner_size,
                                  self.hidden_dropout_prob, self.attn_dropout_prob,
                                  self.hidden_act, self.layer_norm_eps)(x, attn_mask, train)
         return x
+
+    def _use_fused(self, x) -> bool:
+        import os
+
+        flag = os.environ.get("REC_PANGU_TPU_FUSED_ENCODER", "auto")
+        if flag in ("0", "off", "false"):
+            return False
+        if self.is_initializing():
+            return False  # the flax path creates the block params
+        if self.hidden_act not in ("relu", "gelu", "swish", "silu"):
+            return False
+        from .kernels.embedding_grad import _interpret
+
+        backend = jax.default_backend()
+        if backend == "cpu" and not _interpret():
+            return flag in ("1", "on", "true")
+        if backend not in ("cpu", "tpu", "axon"):
+            return False
+        return (x.shape[0] % 4 == 0
+                and x.shape[-1] % self.n_heads == 0)
 
 
 class BERT4RecEncoder(nn.Module):

@@ -132,3 +132,35 @@ def test_bert4rec_fused_encoder_forward_equal(monkeypatch):
     got = enc.apply(variables, seq, lengths, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("name", ["SASRec", "GCSAN"])
+def test_model_fused_encoder_forward_equal(name, monkeypatch):
+    """SASRec/GCSAN eval forward through the fused encoder (gelu FFN,
+    causal x padding mask) equals the flax path."""
+    from rec_pangu_tpu.models import get_model
+
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(0)
+    B, L2, V = 16, 12, 50
+    enc_dict = {"item_id": {"vocab_size": V}}
+    config = {"embedding_dim": 8, "max_length": L2, "n_heads": 2}
+    lens = rng.integers(2, L2 + 1, B)
+    hist = np.zeros((B, L2), dtype=np.int32)
+    maskm = np.zeros((B, L2), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, V, n)
+        maskm[i, :n] = 1.0
+    batch = {"hist_item_list": hist, "hist_mask_list": maskm,
+             "target_item": rng.integers(1, V, (B,)).astype(np.int32)}
+    model = get_model(name)(enc_dict=enc_dict, config=config)
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "0")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+    ref = model.apply(variables, batch, False)
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "1")
+    got = model.apply(variables, batch, False)
+    np.testing.assert_allclose(np.asarray(got["user_emb"]),
+                               np.asarray(ref["user_emb"]),
+                               rtol=5e-4, atol=5e-4)
