@@ -143,7 +143,7 @@ class IOCRec(SequenceModelBase):
         keep = jnp.broadcast_to(keep, (item_seq.shape[0], 1, L, L))
         return jnp.tril(keep)
 
-    def _use_fused_encoder(self, n_rows: int) -> bool:
+    def _use_fused_encoder(self, n_rows: int, train: bool) -> bool:
         """Route the local transformer through the fused Pallas encoder
         (ops/kernels/fused_encoder.py) — the XLA stack round-trips every
         sub-op's [3B, L, D] activations through HBM (~26 ms fwd+bwd at the
@@ -159,8 +159,14 @@ class IOCRec(SequenceModelBase):
         from ...ops.kernels.embedding_grad import _interpret
 
         backend = jax.default_backend()
-        if backend == "cpu" and not _interpret():
-            return flag in ("1", "on", "true")
+        if backend == "cpu":
+            if not _interpret():
+                return flag in ("1", "on", "true")
+            if train and (self.hidden_dropout > 0
+                          or float(self.config.get("attn_dropout", 0.5)) > 0):
+                # pltpu.prng_seed has no interpret-mode lowering on cpu —
+                # dropout-bearing training stays on the flax path there
+                return False
         if backend not in ("cpu", "tpu", "axon"):
             return False
         D = self.embedding_dim
@@ -172,7 +178,7 @@ class IOCRec(SequenceModelBase):
         seq_emb = emb + self.position_embedding[None, :L]
         seq_emb = self.input_layer_norm(seq_emb)
         seq_emb = self.input_dropout(seq_emb, deterministic=not train)
-        if self._use_fused_encoder(item_seq.shape[0]):
+        if self._use_fused_encoder(item_seq.shape[0], train):
             from ...ops.kernels.embedding_grad import _interpret
             from ...ops.kernels.fused_encoder import (fused_encoder,
                                                       pack_params)

@@ -88,7 +88,7 @@ class TransformerEncoder(nn.Module):
         (ops/kernels/fused_encoder.py) on TPU: callers whose ``attn_mask``
         is exactly causal-x-key-padding (SASRec/GCSAN semantics) pass the
         padding mask here; ``attn_mask`` remains the flax fallback."""
-        if key_valid is not None and self._use_fused(x):
+        if key_valid is not None and self._use_fused(x, train):
             from .kernels.embedding_grad import _interpret
             from .kernels.fused_encoder import fused_encoder, pack_params
 
@@ -111,7 +111,7 @@ class TransformerEncoder(nn.Module):
                                  self.hidden_act, self.layer_norm_eps)(x, attn_mask, train)
         return x
 
-    def _use_fused(self, x) -> bool:
+    def _use_fused(self, x, train: bool) -> bool:
         import os
 
         flag = os.environ.get("REC_PANGU_TPU_FUSED_ENCODER", "auto")
@@ -124,8 +124,14 @@ class TransformerEncoder(nn.Module):
         from .kernels.embedding_grad import _interpret
 
         backend = jax.default_backend()
-        if backend == "cpu" and not _interpret():
-            return flag in ("1", "on", "true")
+        if backend == "cpu":
+            if not _interpret():
+                return flag in ("1", "on", "true")
+            if train and (self.hidden_dropout_prob > 0
+                          or self.attn_dropout_prob > 0):
+                # pltpu.prng_seed has no interpret-mode lowering on cpu —
+                # dropout-bearing training stays on the flax path there
+                return False
         if backend not in ("cpu", "tpu", "axon"):
             return False
         return (x.shape[0] % 4 == 0
