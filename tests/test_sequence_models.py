@@ -305,3 +305,31 @@ def test_iocrec_fused_update_engages(tmp_path, monkeypatch):
                     _jax.tree_util.tree_leaves(t_std.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=5e-7)
+
+
+def test_srgnn_trains_under_dp_mesh(tmp_path, monkeypatch):
+    """SRGNN's host session graph + node-lookup plan must work under a
+    data-parallel mesh (per-shard plans; fused update mesh path)."""
+    from rec_pangu_tpu.parallel import make_mesh
+    from rec_pangu_tpu.train import SequenceTrainer
+
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    VOCAB_BIG, B_BIG, L_BIG = 65537, 512, 8
+    rng = np.random.default_rng(3)
+    lens = rng.integers(2, L_BIG + 1, B_BIG)
+    hist = np.zeros((B_BIG, L_BIG), dtype=np.int32)
+    mask = np.zeros((B_BIG, L_BIG), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, VOCAB_BIG, n)
+        mask[i, :n] = 1.0
+    batch = {"hist_item_list": hist, "hist_mask_list": mask,
+             "target_item": rng.integers(1, VOCAB_BIG, B_BIG).astype(np.int32)}
+    enc = {"item_id": {"vocab_size": VOCAB_BIG}}
+    cfg = {"embedding_dim": 8, "max_length": L_BIG, "item_col": "item_id",
+           "cate_cols": [], "device": -1}
+    model = get_model("SRGNN")(enc_dict=enc, config=dict(cfg))
+    tr = SequenceTrainer(model_ckpt_dir=str(tmp_path))
+    tr.fit(model, [dict(batch)], None, epoch=1, lr=1e-2, seed=5,
+           mesh=make_mesh(4, 1))
+    assert np.isfinite(
+        float(np.asarray(tr.state.params["item_emb"]["table"]).sum()))
