@@ -156,6 +156,10 @@ class IOCRec(SequenceModelBase):
             return False
         if self.is_initializing():
             return False  # flax path creates the encoder params
+        from ...parallel.mesh import active_mesh
+
+        if active_mesh() is not None:
+            return False  # no bare pallas_call inside a multi-device jit
         from ...ops.kernels.embedding_grad import _interpret
 
         backend = jax.default_backend()

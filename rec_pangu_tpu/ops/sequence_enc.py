@@ -121,6 +121,13 @@ class TransformerEncoder(nn.Module):
             return False  # the flax path creates the block params
         if self.hidden_act not in ("relu", "gelu", "swish", "silu"):
             return False
+        from ..parallel.mesh import active_mesh
+
+        if active_mesh() is not None:
+            # a bare pallas_call must not reach a multi-device jit (and the
+            # axon shim reports backend "tpu" even when the mesh is built
+            # from forced-host CPU devices)
+            return False
         from .kernels.embedding_grad import _interpret
 
         backend = jax.default_backend()
@@ -192,6 +199,10 @@ class BERT4RecEncoder(nn.Module):
             return False
         import jax as _jax
 
+        from ..parallel.mesh import active_mesh
+
+        if active_mesh() is not None:
+            return False  # no bare pallas_call inside a multi-device jit
         from .kernels.embedding_grad import _interpret
 
         backend = _jax.default_backend()
