@@ -114,6 +114,11 @@ class IOCRec(SequenceModelBase):
         cfg = self.config
         D = self.embedding_dim
         self.tao = float(cfg.get("tao", 2))
+        # same config keys the trainer's host-augmentation path reads
+        # (train/trainer.py _attach) so host and device augmentation draw
+        # from the same crop-ratio distribution
+        self.beta_a = float(cfg.get("beta_a", 3.0))
+        self.beta_b = float(cfg.get("beta_b", 3.0))
         self.all_hidden = bool(cfg.get("all_hidden", True))
         self.lamda = float(cfg.get("lamda", 0.1))
         self.k_intention = int(cfg.get("K", 4))
@@ -165,7 +170,9 @@ class IOCRec(SequenceModelBase):
         backend = jax.default_backend()
         if backend == "cpu":
             if not _interpret():
-                return flag in ("1", "on", "true")
+                # even an explicit =1 cannot lower a TPU kernel on cpu
+                # without REC_PANGU_TPU_PALLAS_INTERPRET (multimax-gate rule)
+                return False
             if train and (self.hidden_dropout > 0
                           or float(self.config.get("attn_dropout", 0.5)) > 0):
                 # pltpu.prng_seed has no interpret-mode lowering on cpu —
@@ -242,10 +249,10 @@ class IOCRec(SequenceModelBase):
             else:
                 rng = self.make_rng("dropout")
                 r1, r2 = jax.random.split(rng)
-                aug1 = augment_sequences(r1, item_seq, 3.0, 3.0,
-                                         self.mask_token)
-                aug2 = augment_sequences(r2, item_seq, 3.0, 3.0,
-                                         self.mask_token)
+                aug1 = augment_sequences(r1, item_seq, self.beta_a,
+                                         self.beta_b, self.mask_token)
+                aug2 = augment_sequences(r2, item_seq, self.beta_a,
+                                         self.beta_b, self.mask_token)
                 all_seq = jnp.concatenate([item_seq, aug1, aug2], axis=0)
             all_len = jnp.concatenate([seq_len, seq_len, seq_len], axis=0)
             intention3 = self._intention_emb(all_seq, all_len, train, plan)

@@ -133,7 +133,10 @@ class TransformerEncoder(nn.Module):
         backend = jax.default_backend()
         if backend == "cpu":
             if not _interpret():
-                return flag in ("1", "on", "true")
+                # a TPU kernel only runs on cpu under interpret mode — even
+                # an explicit =1 without REC_PANGU_TPU_PALLAS_INTERPRET
+                # cannot lower (same rule as _use_multimax_kernel)
+                return False
             if train and (self.hidden_dropout_prob > 0
                           or self.attn_dropout_prob > 0):
                 # pltpu.prng_seed has no interpret-mode lowering on cpu —
@@ -207,7 +210,7 @@ class BERT4RecEncoder(nn.Module):
 
         backend = _jax.default_backend()
         if backend == "cpu" and not _interpret():
-            return flag in ("1", "on", "true")
+            return False  # no TPU lowering on cpu without interpret mode
         if backend not in ("cpu", "tpu", "axon"):
             return False
         return n_rows % 4 == 0 and H % self.num_heads == 0

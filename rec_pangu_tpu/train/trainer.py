@@ -144,14 +144,11 @@ class _BaseTrainer:
             vocab = int(enc[item_col][OOV_SENTINEL])
             dim = int(cfg["embedding_dim"])
             ids_key = "hist_item_list"
-            if getattr(model, "host_aug", False):
-                if not for_train:
-                    return batch  # eval forward takes no plan
-                if n_shards:
-                    # under a DP mesh the [3B] = [hist; aug1; aug2] stack
-                    # would row-split across views — keep device augmentation
-                    # (unfused) there
-                    return batch
+            if getattr(model, "host_aug", False) and for_train and not n_shards:
+                # Under a DP mesh the [3B] = [hist; aug1; aug2] stack would
+                # row-split across views, so device augmentation (unfused)
+                # stays there — but the plain hist lookup below still gets
+                # its planned-gather perf hint, as do eval batches.
                 from ..models.sequence.contrarec import host_augment_sequences
 
                 if "aug_all" not in batch:

@@ -52,6 +52,47 @@ SEQ_MODELS_EXTRA = ["SASRec", "CLRec", "IOCRec", "SRGNN", "GCSAN", "NISER"]
 # MTL on meaningful data: ratings.csv with two binarized labels (the 80-row
 # multi_task_sample slices are noise-dominated)
 MTL_RATINGS_MODELS = ["MMOE", "ESSM", "AITM"]
+# round-5 extension (VERDICT r4 item 2): every registered model gets a
+# measured leg.  AFM note: the reference's AFM is a verbatim FiBiNet clone
+# (rec_pangu/models/ranking/afm.py:12 `# Fixme`); this framework implements
+# the real paper model (SURVEY §7.1 "bugs not replicated"), so that column
+# compares different architectures by design.
+RANKING_MODELS_EXTRA = ["LR", "FM", "WDL", "NFM", "AFM", "AFN", "AOANet",
+                        "CCPM"]
+MTL_RATINGS_MODELS_EXTRA = ["ShareBottom", "OMOE", "MLMMOE"]
+SEQ_MODELS_EXTRA2 = ["STAMP", "NextItNet", "SINE", "Re4", "CMI", "ContraRec"]
+# round-5 (VERDICT r4 item 3): sequence + MTL parity at 3 seeds,
+# ratings3-style.  seq3/<name> and mtl3/<name> keys on both sides.
+SEQ_SEEDS3 = [1029, 1030, 1031]
+
+
+def load_graph_cf():
+    """Graph-CF (NGCF) protocol: MovieLens ratings.csv as a bipartite
+    user-item interaction set, ids remapped to contiguous ints over the FULL
+    frame (both sides build identical graphs), fixed shuffled 80/20 row
+    split (seed 2026, load_ratings_ctr-style).  Returns
+    (train_df, test_df, num_user, num_item) with columns user_id/item_id —
+    the reference GeneralGraphDataset's expected names
+    (rec_pangu/dataset/graph_dataset.py:20-22)."""
+    df = pd.read_csv(repo_path("examples/ranking/sample_data/ratings.csv"))
+    users = {u: i for i, u in enumerate(sorted(df["userId"].unique()))}
+    items = {v: i for i, v in enumerate(sorted(df["movieId"].unique()))}
+    out = pd.DataFrame({
+        "user_id": df["userId"].map(users).astype(np.int64),
+        "item_id": df["movieId"].map(items).astype(np.int64),
+    })
+    rng = np.random.RandomState(2026)
+    order = rng.permutation(len(out))
+    out = out.iloc[order].reset_index(drop=True)
+    n_train = int(len(out) * 0.8)
+    return (out.iloc[:n_train].reset_index(drop=True),
+            out.iloc[n_train:].reset_index(drop=True),
+            len(users), len(items))
+
+
+GRAPH_EPOCHS = 5
+GRAPH_BATCH = 512  # random.sample needs batch <= n_users (610)
+GRAPH_TOPN = 50
 
 
 def repo_path(*parts):

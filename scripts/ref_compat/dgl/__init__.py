@@ -18,7 +18,9 @@ class _TensorDict(dict):
 
 
 class DGLGraph:
-    def __init__(self, src, dst):
+    def __init__(self, src, dst=None):
+        if dst is None:  # DGLGraph((src, dst)) form (graph_dataset.py:32)
+            src, dst = src
         self.src = src.long().reshape(-1)
         self.dst = dst.long().reshape(-1)
         n = 0
@@ -46,16 +48,48 @@ class DGLGraph:
         return self
 
     def update_all(self, message_func, reduce_func):
-        if getattr(message_func, "kind", None) != "u_mul_e" or \
-                getattr(reduce_func, "kind", None) != "sum":
+        if getattr(reduce_func, "kind", None) != "sum":
             raise NotImplementedError(
-                "dgl shim: only u_mul_e + sum (the SRGNN surface) is supported")
-        h = self.ndata[message_func.src_field]
-        w = self.edata[message_func.edge_field]
-        msg = h[self.src] * w  # [E, D] * [E, 1]
-        out = torch.zeros_like(h)
+                "dgl shim: only sum reduction (the reference surface)")
+        if getattr(message_func, "kind", None) == "u_mul_e":
+            h = self.ndata[message_func.src_field]
+            w = self.edata[message_func.edge_field]
+            msg = h[self.src] * w  # [E, D] * [E, 1]
+            out_field = reduce_func.out_field
+            out = torch.zeros_like(h)
+        elif callable(message_func):
+            # NGCFLayer's custom message_fun (layers/graph.py:107-110):
+            # gets an EdgeBatch view exposing edges.src[field]/edges.dst[field]
+            edges = _EdgeBatch(self)
+            msg = message_func(edges)[reduce_func.msg_field]
+            out_field = reduce_func.out_field
+            # size the output to the caller's node features ('h'), not the
+            # edge-inferred node count — isolated tail nodes may extend past
+            # the max edge id
+            n = max(self._num_nodes, self.ndata["h"].shape[0]) \
+                if "h" in self.ndata else self._num_nodes
+            out = torch.zeros((n, msg.shape[1]),
+                              dtype=msg.dtype, device=msg.device)
+        else:
+            raise NotImplementedError(
+                "dgl shim: unsupported message function")
         out.index_add_(0, self.dst, msg)
-        self.ndata[reduce_func.out_field] = out
+        self.ndata[out_field] = out
+
+
+class _EdgeBatch:
+    """edges.src['h'] / edges.dst['h'] views for custom message functions."""
+
+    class _View:
+        def __init__(self, ndata, idx):
+            self._ndata, self._idx = ndata, idx
+
+        def __getitem__(self, field):
+            return self._ndata[field][self._idx]
+
+    def __init__(self, g):
+        self.src = _EdgeBatch._View(g.ndata, g.src)
+        self.dst = _EdgeBatch._View(g.ndata, g.dst)
 
 
 def graph(edges, num_nodes=None):
