@@ -91,6 +91,22 @@ class SequenceModelBase(nn.Module):
     # contrastive augmentations, in-forward renorms) must stay False or their
     # table gradient would silently lose those terms.
     fused_update_compatible = False
+    # Extra per-sample id columns ([B]-shaped batch keys) whose GRADIENT-
+    # CARRYING reads should ride the same host sort plan as the hist lookup:
+    # the trainer concatenates [hist | extras] into batch["lookup_all"]
+    # (r5, VERDICT r4 item 5), the model does ONE planned lookup and slices.
+    # Models using this set fused_lookup_key = "lookup_all".  (Plain class
+    # attr, NOT annotated: an annotation would make it a flax dataclass
+    # field whose base default shadows subclass overrides.)
+    lookup_extra = ()
+    # True -> the trainer pre-samples batch["neg_items"] (uniform in
+    # [1, vocab-1), host rng) so device-generated negative ids don't defeat
+    # the host plan.
+    host_negatives = False
+    # False -> the model's loss never routes through the captured streaming
+    # CE (no full-softmax term); the fused step then skips the dense-grad
+    # kernel stream entirely.
+    fused_uses_ce = True
 
     def setup_base(self) -> None:
         item_col = self.config.get("item_col", "item_id")
@@ -177,6 +193,31 @@ class SequenceModelBase(nn.Module):
                              axis=-1, keepdims=True)
         neg_scores = jnp.dot(user_emb, jnp.take(all_items, neg_ids, axis=0).T,
                              preferred_element_type=jnp.float32)
+        logits = jnp.concatenate([pos_scores, neg_scores], axis=1)
+        return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
+
+    def calculate_multimax_sampled_loss(self, user_embs: jnp.ndarray,
+                                        pos_item: jnp.ndarray,
+                                        num_negatives: int = 1024) -> jnp.ndarray:
+        """Sampled K-max CE for [B, K, D] multi-interest embeddings (r5,
+        VERDICT r4 item 7): ``CE(max_k u_bk . item)`` over the positive plus
+        a batch-shared set of uniform negatives — the same negative-sharing
+        scheme as ``calculate_sampled_loss``, with the K-max applied to every
+        candidate's logit exactly as the exact kernel does
+        (ops/kernels/multimax_ce.py).  The scale knob for vocabularies past
+        the exact K-max CE's budget."""
+        all_items = self.output_items()
+        v = all_items.shape[0]
+        rng = (self.make_rng("dropout") if self.has_rng("dropout")
+               else jax.random.PRNGKey(0))
+        neg_ids = jax.random.randint(rng, (num_negatives,), 1, v)
+        pos = pos_item.reshape(-1)
+        pos_scores = jnp.max(
+            jnp.sum(user_embs * jnp.take(all_items, pos, axis=0)[:, None, :],
+                    axis=-1), axis=1, keepdims=True)           # [B, 1]
+        neg_scores = jnp.max(
+            jnp.einsum("bkd,nd->bkn", user_embs,
+                       jnp.take(all_items, neg_ids, axis=0)), axis=1)  # [B, N]
         logits = jnp.concatenate([pos_scores, neg_scores], axis=1)
         return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
 

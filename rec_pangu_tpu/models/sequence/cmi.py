@@ -26,6 +26,17 @@ def _stopgrad_norm(w: jnp.ndarray, axis=-1, eps=1e-12) -> jnp.ndarray:
 
 @register_model("CMI")
 class CMI(SequenceModelBase):
+    # All three gradient-carrying table reads (hist, positive target,
+    # sampled negatives) are per-row, and row-norm commutes with the gather
+    # (norm is over the last axis), so they ride ONE host plan over
+    # batch["lookup_all"] = [hist | target | host-sampled negs] (r5).  The
+    # loss has no full-softmax term -> no dense CE capture stream.
+    fused_update_compatible = True
+    fused_lookup_key = "lookup_all"
+    lookup_extra = ("target_item", "neg_items")
+    host_negatives = True
+    fused_uses_ce = False
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -55,10 +66,19 @@ class CMI(SequenceModelBase):
         mask = batch["hist_mask_list"]
         lengths = jnp.sum(mask, axis=-1).astype(jnp.int32)
         B, L = item_seq.shape
-        item_table = self._normed_item_table()
         interest_bank = _stopgrad_norm(self.interest_embedding)
 
-        seq_emb = jnp.take(item_table, item_seq, axis=0)
+        pos_neg_emb = None
+        if train and "lookup_all" in batch:
+            # one planned lookup for [hist | pos | neg]; per-row stop-grad
+            # norm AFTER the gather == gather from the normed table (the
+            # norm is rowwise; padding rows are zero either way)
+            emb = self.item_emb(batch["lookup_all"], batch.get("emb_plan"))
+            emb = _stopgrad_norm(emb)
+            seq_emb, pos_neg_emb = emb[:, :L], (emb[:, L], emb[:, L + 1])
+        else:
+            item_table = self._normed_item_table()
+            seq_emb = jnp.take(item_table, item_seq, axis=0)
         seq_emb = self.emb_dropout(seq_emb, deterministic=not train)
 
         psnl_interest = jnp.broadcast_to(interest_bank[None], (B, self.n_interest,
@@ -93,16 +113,20 @@ class CMI(SequenceModelBase):
         if train:
             out["global_user_emb"] = full_psnl
             out["loss"] = self._cmi_loss(psnl_interest, batch["target_item"],
-                                         item_table) + interest_cl
+                                         pos_neg_emb) + interest_cl
         return out
 
-    def _cmi_loss(self, psnl_interest, pos_items, item_table):
+    def _cmi_loss(self, psnl_interest, pos_items, pos_neg_emb):
         B, K, D = psnl_interest.shape
-        rng = self.make_rng("dropout")
-        n_item = item_table.shape[0]
-        neg_items = jax.random.randint(rng, (B,), 1, max(n_item - 1, 2))
-        pos_emb = jnp.take(item_table, pos_items, axis=0)       # [B, D]
-        neg_emb = jnp.take(item_table, neg_items, axis=0)       # [B, D]
+        if pos_neg_emb is not None:
+            pos_emb, neg_emb = pos_neg_emb
+        else:
+            item_table = self._normed_item_table()
+            rng = self.make_rng("dropout")
+            n_item = item_table.shape[0]
+            neg_items = jax.random.randint(rng, (B,), 1, max(n_item - 1, 2))
+            pos_emb = jnp.take(item_table, pos_items, axis=0)   # [B, D]
+            neg_emb = jnp.take(item_table, neg_items, axis=0)   # [B, D]
         pos_scores = jnp.sum(psnl_interest * pos_emb[:, None, :], axis=-1)  # [B, K]
         neg_scores = jnp.einsum("bkd,nd->bkn", psnl_interest, neg_emb)      # [B, K, B]
         scores = jnp.concatenate([pos_scores[..., None], neg_scores], axis=-1)

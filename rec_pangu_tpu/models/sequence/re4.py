@@ -25,6 +25,11 @@ KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 @register_model("Re4")
 class Re4(SequenceModelBase):
+    # table uses: planned hist lookup + full-softmax CE (both captured) +
+    # the target-item read, which feeds only best_interest's argmax
+    # (gradient-free — see ComirecSA)
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -117,7 +122,7 @@ class Re4(SequenceModelBase):
 
         user_interests = jnp.tanh(self.fc1(user_interests))
         best = best_interest(user_interests, item_e)
-        loss = self.calculate_loss(best, target_item)
+        loss = self.calculate_loss(best, target_item, batch.get("emb_plan"))
         loss = loss + self.att_lambda * loss_attend + \
             self.ct_lambda * loss_contrastive + self.cs_lambda * loss_construct
         return {"user_emb": user_interests, "loss": loss}

@@ -26,6 +26,10 @@ TORCH_KAIMING = torch_kaiming_normal()
 
 @register_model("SINE")
 class SINE(SequenceModelBase):
+    # only table uses: the planned hist lookup + the full-softmax CE — both
+    # captured by the fused-update step (train/fused_update.py)
+    fused_update_compatible = True
+
     def setup(self):
         self.setup_base()
         cfg = self.config
@@ -84,5 +88,6 @@ class SINE(SequenceModelBase):
 
         out = {"user_emb": user_emb}
         if train:
-            out["loss"] = self.calculate_loss(user_emb, batch["target_item"])
+            out["loss"] = self.calculate_loss(user_emb, batch["target_item"],
+                                              batch.get("emb_plan"))
         return out

@@ -319,6 +319,16 @@ def _bwd_kernel(x_ref, kvalid_ref, smask_ref, seed_ref, dy_ref, *refs,
         gr[...] += val
 
 
+def encoder_tb(default: int = 4) -> int:
+    """Rows-per-tile for the fused encoder family.  ``REC_PANGU_TPU_ENCODER_TB``
+    overrides for experiments; callers must still gate divisibility on the
+    value returned here."""
+    import os
+
+    v = os.environ.get("REC_PANGU_TPU_ENCODER_TB")
+    return int(v) if v else default
+
+
 def _static_mask(tb: int, L: int, causal: bool) -> np.ndarray:
     """[TB*L, TB*L] bool: same-sample (AND causal when requested)."""
     r = np.arange(tb * L)
@@ -430,6 +440,65 @@ def _fe_bwd(n_layers, n_heads, inner, hdrop, adrop, eps, train, tb,
 
 
 fused_encoder.defvjp(_fe_fwd, _fe_bwd)
+
+
+def fused_encoder_dp(x, params, key_valid, seed, mesh, n_layers, n_heads,
+                     inner, hdrop, adrop, eps, train, tb, interpret,
+                     causal=True, act="relu"):
+    """fused_encoder under a data-parallel mesh: rows sharded over 'data',
+    params replicated, each chip running the kernel on its local rows inside
+    a shard_map region (the same pattern as the planned embedding kernels —
+    docs/perf_notes.md §1; a bare pallas_call must never reach a multi-device
+    jit).  The backward's replicated-param cotangents are psum'd by
+    shard_map's transpose.  Dropout streams are decorrelated across shards
+    by folding the shard index into the seed."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DATA_AXIS
+
+    def _local(x, kv, params, seed):
+        sidx = jax.lax.axis_index(DATA_AXIS)
+        local_seed = (seed + sidx * jnp.int32(-1640531527)).astype(jnp.int32)
+        return fused_encoder(x, params, kv, local_seed, n_layers, n_heads,
+                             inner, hdrop, adrop, eps, train, tb, interpret,
+                             causal, act)
+
+    return jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(DATA_AXIS), check_vma=False,
+    )(x, key_valid, params, jnp.asarray(seed, jnp.int32))
+
+
+def encoder_mesh_ok(n_rows: int, tb: int = 4):
+    """Gate helper for the fused-encoder family under an active mesh.
+
+    Returns (ok, mesh, per_shard_rows): ``ok`` says whether the kernel may
+    run at all; ``mesh`` is the data-parallel mesh to shard_map over (None =
+    single-device direct call); ``per_shard_rows`` is the per-chip row count
+    the tile-divisibility checks should use.  A non-trivial 'model' axis or
+    a non-dividing batch keeps the kernels off (flax/GSPMD path)."""
+    from ...parallel.mesh import DATA_AXIS, MODEL_AXIS, active_mesh
+
+    mesh = active_mesh()
+    if mesh is None:
+        return True, None, n_rows
+    if mesh.shape[MODEL_AXIS] != 1:
+        return False, None, n_rows  # row-sharded tables: GSPMD end-to-end
+    n_data = mesh.shape[DATA_AXIS]
+    if n_rows % n_data or (n_rows // n_data) % tb:
+        return False, None, n_rows
+    # the axon shim reports default_backend "tpu"/"axon" even when the mesh
+    # is built from FORCED-HOST CPU devices — the mesh's own device platform
+    # decides whether the kernel can lower (cpu needs interpret mode)
+    from .embedding_grad import _interpret
+
+    plat = next(iter(np.asarray(mesh.devices).flat)).platform
+    if plat == "cpu" and not _interpret():
+        return False, None, n_rows
+    if plat not in ("cpu", "tpu"):
+        return False, None, n_rows
+    return True, mesh, n_rows // n_data
 
 
 def pack_params(variables_params, n_layers: int) -> Tuple[jnp.ndarray, ...]:

@@ -45,9 +45,24 @@ _NEG = -1e30  # finite -inf: exp underflows to exactly 0
 
 def _choose_tile(b: int, v_pad: int) -> int:
     """Largest item-tile (multiple of 128, <= 2048) keeping the [B, T] logit
-    scratch around ~2 MB so forward+backward fit VMEM comfortably."""
+    scratch around ~4 MB so forward+backward fit VMEM comfortably.
+
+    The cap is a measured optimum, not a VMEM ceiling (physical VMEM is
+    ~128 MB): the r5 tile sweep (scripts/exp_multimax_roofline.py) found
+    T=1024 at B=1024 ~8% faster than the old 2 MB cap's T=512 (fewer grid
+    steps -> less per-step VPU mask/online overhead), while T=2048 blows
+    the backward's residency.  ``REC_PANGU_TPU_MULTIMAX_TILE`` overrides
+    for experiments."""
+    import os
+
+    forced = os.environ.get("REC_PANGU_TPU_MULTIMAX_TILE")
+    if forced:
+        t = int(forced)
+        while v_pad % t:
+            t //= 2
+        return max(t, 128)
     t = 2048
-    while t > 128 and b * t * 4 > 2 * 1024 * 1024:
+    while t > 128 and b * t * 4 > 4 * 1024 * 1024:
         t //= 2
     while v_pad % t:
         t //= 2
@@ -193,7 +208,8 @@ def multimax_grads(user_embs: jnp.ndarray, items_p: jnp.ndarray,
     return jnp.transpose(du, (1, 0, 2)), d_items
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave ~4 MB headroom in 16 MB VMEM
+_VMEM_BUDGET = 48 * 1024 * 1024  # the kernels request a 64 MB scoped limit
+# (v5e physical VMEM is 128 MB); keep headroom for Mosaic's double buffers
 
 
 def multimax_kernel_ok(b: int, k: int, d: int) -> bool:
@@ -203,12 +219,12 @@ def multimax_kernel_ok(b: int, k: int, d: int) -> bool:
     tiles — bounding only the [B, T] scratch (the old gate) admitted shapes
     like B=4096, K=8, D=256 that need >32 MB and fail Mosaic compilation."""
     if not (b % 8 == 0 and d % 8 == 0 and k >= 1
-            and b * 128 * 4 <= 2 * 1024 * 1024):
+            and b * 128 * 4 <= 4 * 1024 * 1024):
         return False
     # the tile _choose_tile would pick in the best case (alignment can only
-    # shrink it, which shrinks residency too)
+    # shrink it, which shrinks residency too) — same 4 MB [B, T] cap
     t = 2048
-    while t > 128 and b * t * 4 > 2 * 1024 * 1024:
+    while t > 128 and b * t * 4 > 4 * 1024 * 1024:
         t //= 2
     resident = 2 * k * b * d * 4 + 3 * b * t * 4 + 2 * t * d * 4
     return resident <= _VMEM_BUDGET

@@ -90,7 +90,9 @@ class TransformerEncoder(nn.Module):
         padding mask here; ``attn_mask`` remains the flax fallback."""
         if key_valid is not None and self._use_fused(x, train):
             from .kernels.embedding_grad import _interpret
-            from .kernels.fused_encoder import fused_encoder, pack_params
+            from .kernels.fused_encoder import (encoder_mesh_ok, encoder_tb,
+                                                fused_encoder,
+                                                fused_encoder_dp, pack_params)
 
             packed = pack_params(self.variables["params"], self.n_layers)
             if train and (self.hidden_dropout_prob > 0
@@ -101,10 +103,18 @@ class TransformerEncoder(nn.Module):
             else:
                 seed = jnp.int32(0)
                 hdrop = adrop = 0.0
+            _, mesh, _ = encoder_mesh_ok(x.shape[0])
+            if mesh is not None:
+                # data-parallel mesh: run the kernel per-shard in shard_map
+                return fused_encoder_dp(
+                    x, packed, key_valid, seed, mesh, self.n_layers,
+                    self.n_heads, self.inner_size, hdrop, adrop,
+                    self.layer_norm_eps, train, encoder_tb(), _interpret(),
+                    causal, self.hidden_act)
             return fused_encoder(x, packed, key_valid, seed, self.n_layers,
                                  self.n_heads, self.inner_size, hdrop, adrop,
-                                 self.layer_norm_eps, train, 4, _interpret(),
-                                 causal, self.hidden_act)
+                                 self.layer_norm_eps, train, encoder_tb(),
+                                 _interpret(), causal, self.hidden_act)
         for _ in range(self.n_layers):
             x = TransformerBlock(self.n_heads, self.inner_size,
                                  self.hidden_dropout_prob, self.attn_dropout_prob,
@@ -121,12 +131,12 @@ class TransformerEncoder(nn.Module):
             return False  # the flax path creates the block params
         if self.hidden_act not in ("relu", "gelu", "swish", "silu"):
             return False
-        from ..parallel.mesh import active_mesh
+        from .kernels.fused_encoder import encoder_mesh_ok, encoder_tb
 
-        if active_mesh() is not None:
-            # a bare pallas_call must not reach a multi-device jit (and the
-            # axon shim reports backend "tpu" even when the mesh is built
-            # from forced-host CPU devices)
+        ok, _, per_shard = encoder_mesh_ok(x.shape[0], encoder_tb())
+        if not ok:
+            # mesh shapes the kernel cannot ride: row-sharded tables
+            # ('model' axis) or a batch that doesn't split over 'data'
             return False
         from .kernels.embedding_grad import _interpret
 
@@ -144,7 +154,7 @@ class TransformerEncoder(nn.Module):
                 return False
         if backend not in ("cpu", "tpu", "axon"):
             return False
-        return (x.shape[0] % 4 == 0
+        return (per_shard % encoder_tb() == 0
                 and x.shape[-1] % self.n_heads == 0)
 
 
@@ -172,16 +182,26 @@ class BERT4RecEncoder(nn.Module):
                                  hidden_act="relu")
         if self._use_fused(B, H):
             from .kernels.embedding_grad import _interpret
-            from .kernels.fused_encoder import fused_encoder, pack_params
+            from .kernels.fused_encoder import (encoder_mesh_ok, encoder_tb,
+                                                fused_encoder,
+                                                fused_encoder_dp, pack_params)
 
             # params exist from the flax path taken at init time (the
             # _use_fused gate keeps init there); read them by module name
             packed = pack_params(
                 self.variables["params"]["TransformerEncoder_0"],
                 self.num_layers)
-            x = fused_encoder(x, packed, valid, jnp.int32(0),
-                              self.num_layers, self.num_heads, H, 0.0, 0.0,
-                              1e-12, False, 4, _interpret(), False)
+            _, mesh, _ = encoder_mesh_ok(B)
+            if mesh is not None:
+                x = fused_encoder_dp(x, packed, valid, jnp.int32(0), mesh,
+                                     self.num_layers, self.num_heads, H,
+                                     0.0, 0.0, 1e-12, False, encoder_tb(),
+                                     _interpret(), False)
+            else:
+                x = fused_encoder(x, packed, valid, jnp.int32(0),
+                                  self.num_layers, self.num_heads, H, 0.0,
+                                  0.0, 1e-12, False, encoder_tb(),
+                                  _interpret(), False)
         else:
             attn_mask = valid[:, None, None, :]  # bidirectional padding mask
             x = enc(x, attn_mask, train)
@@ -202,10 +222,11 @@ class BERT4RecEncoder(nn.Module):
             return False
         import jax as _jax
 
-        from ..parallel.mesh import active_mesh
+        from .kernels.fused_encoder import encoder_mesh_ok, encoder_tb
 
-        if active_mesh() is not None:
-            return False  # no bare pallas_call inside a multi-device jit
+        ok, _, per_shard = encoder_mesh_ok(n_rows, encoder_tb())
+        if not ok:
+            return False
         from .kernels.embedding_grad import _interpret
 
         backend = _jax.default_backend()
@@ -213,7 +234,7 @@ class BERT4RecEncoder(nn.Module):
             return False  # no TPU lowering on cpu without interpret mode
         if backend not in ("cpu", "tpu", "axon"):
             return False
-        return n_rows % 4 == 0 and H % self.num_heads == 0
+        return per_shard % encoder_tb() == 0 and H % self.num_heads == 0
 
 
 # --------------------------------------------------------------------------- #

@@ -322,11 +322,13 @@ def seq_fused_applicable(model, params, sample_batch,
         return None
     from ..ops.kernels.fused_adam import fused_adam_fits
 
-    if not fused_adam_fits(rows, dim, has_dense=True, plan=plan):
+    uses_ce = bool(getattr(model, "fused_uses_ce", True))
+    if not fused_adam_fits(rows, dim, has_dense=uses_ce, plan=plan):
         return None
     if not plan_matches(plan, n, rows, dim) or "tile_starts" not in plan:
         return None
-    return {"path": path, "dim": dim, "rows": rows, "vocab": vocab}
+    return {"path": path, "dim": dim, "rows": rows, "vocab": vocab,
+            "uses_ce": uses_ce}
 
 
 def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
@@ -361,8 +363,11 @@ def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
             out = state.apply_fn({"params": params}, b, True, rngs=rngs)
             return out["loss"], out
 
-        cap = {"hist": jnp.zeros((n, dim), jnp.float32),
-               "ce_t": jnp.zeros((dim, rows), jnp.float32)}
+        cap = {"hist": jnp.zeros((n, dim), jnp.float32)}
+        if info.get("uses_ce", True):
+            # models without a full-softmax term (fused_uses_ce=False) skip
+            # the dense capture — no zero [D, rows] stream through the kernel
+            cap["ce_t"] = jnp.zeros((dim, rows), jnp.float32)
         (grads, cap_grads), out = jax.grad(
             loss_fn, (0, 1), has_aux=True)(state.params, cap)
 
@@ -383,12 +388,12 @@ def _seq_fused_step_fn(model, info: dict, lr: float, steps_per_epoch: int,
                 gplan, ids_stream, cap_grads["hist"], table,
                 emb_state[key]["mu"], emb_state[key]["nu"], hyper,
                 mesh, rows_sharded=rows_sharded,
-                dense_grad_t=cap_grads["ce_t"])
+                dense_grad_t=cap_grads.get("ce_t"))
         else:
             new_t, new_mu, new_nu = planned_adam_update(
                 gplan, ids_stream, cap_grads["hist"], table,
                 emb_state[key]["mu"], emb_state[key]["nu"], hyper,
-                dense_grad_t=cap_grads["ce_t"])
+                dense_grad_t=cap_grads.get("ce_t"))
         flat[path] = new_t
         new_params = traverse_util.unflatten_dict(flat)
         new_emb_state = {key: {"mu": new_mu, "nu": new_nu}}

@@ -175,6 +175,29 @@ class _BaseTrainer:
 
                 attach_session_graph(batch)
                 ids_key = "graph_nodes"
+            extras = getattr(model, "lookup_extra", ())
+            if extras and for_train:
+                # fold the model's extra gradient-carrying id reads (target
+                # items, host-sampled negatives) into one [B, L+len(extras)]
+                # planned lookup (r5, VERDICT r4 item 5)
+                if getattr(model, "host_negatives", False) \
+                        and "neg_items" not in batch:
+                    rng = getattr(self, "_aug_rng", None)
+                    if rng is None:
+                        rng = self._aug_rng = np.random.default_rng(10_301)
+                    b_rows = np.asarray(batch["hist_item_list"]).shape[0]
+                    batch["neg_items"] = rng.integers(
+                        1, max(vocab - 1, 2), b_rows).astype(np.int32)
+                if "lookup_all" not in batch \
+                        and all(k in batch for k in extras):
+                    hist_arr = np.asarray(batch["hist_item_list"])
+                    parts = [hist_arr.reshape(hist_arr.shape[0], -1)]
+                    parts += [np.asarray(batch[k]).reshape(
+                        hist_arr.shape[0], -1) for k in extras]
+                    batch["lookup_all"] = np.concatenate(
+                        parts, axis=1).astype(np.int32)
+                if "lookup_all" in batch:
+                    ids_key = "lookup_all"
             if (n_shards and force
                     and batch["hist_item_list"].shape[0] % n_shards):
                 # replicated partial batch on the fused path: one plain plan

@@ -12,11 +12,15 @@ import time
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from parity_common import (RANKING_SCHEMA, RATINGS_SCHEMA, RATINGS_EPOCHS,
+from parity_common import (GRAPH_BATCH, GRAPH_EPOCHS, GRAPH_TOPN,
+                           RANKING_SCHEMA, RATINGS_SCHEMA, RATINGS_EPOCHS,
                            RATINGS_BATCH, RATINGS_MTL_SCHEMA, SEQ_EPOCHS,
-                           SEQ_BATCH, RANKING_MODELS, MTL_MODELS,
-                           MTL_RATINGS_MODELS, SEQ_MODELS, SEQ_MODELS_EXTRA,
-                           load_ratings_ctr, load_ratings_mtl, repo_path)
+                           SEQ_BATCH, SEQ_SEEDS3, RANKING_MODELS,
+                           RANKING_MODELS_EXTRA, MTL_MODELS,
+                           MTL_RATINGS_MODELS, MTL_RATINGS_MODELS_EXTRA,
+                           SEQ_MODELS, SEQ_MODELS_EXTRA, SEQ_MODELS_EXTRA2,
+                           load_graph_cf, load_ratings_ctr, load_ratings_mtl,
+                           repo_path)
 
 from rec_pangu_tpu.data import get_dataloader
 from rec_pangu_tpu.models import get_model
@@ -58,7 +62,7 @@ rat_train, rat_valid, rat_test = load_ratings_ctr()
 loaders = get_dataloader(rat_train, rat_valid, rat_test, RATINGS_SCHEMA,
                          batch_size=RATINGS_BATCH)
 train_loader, valid_loader, test_loader, enc_dict = loaders
-for name in RANKING_MODELS:
+for name in RANKING_MODELS + RANKING_MODELS_EXTRA:
     key = f"ratings/{name}"
     if key in results:
         continue
@@ -75,7 +79,7 @@ for name in RANKING_MODELS:
 from rec_pangu_tpu.data.loader import DataLoader as _DL
 
 SEEDS3 = [1029, 1030, 1031]
-for name in RANKING_MODELS:
+for name in RANKING_MODELS + RANKING_MODELS_EXTRA:
     key = f"ratings3/{name}"
     if key in results:
         continue
@@ -125,7 +129,9 @@ loaders = get_dataloader(pd.read_csv(f"{d}/sample_train.csv"),
                          pd.read_csv(f"{d}/sample_test.csv"),
                          seq_schema, batch_size=SEQ_BATCH)
 train_loader, valid_loader, test_loader, enc_dict = loaders
-for name in SEQ_MODELS + SEQ_MODELS_EXTRA:
+seq_train_loader, seq_test_loader, enc_dict_seq = \
+    train_loader, test_loader, enc_dict  # aliases for the seq3/ section
+for name in SEQ_MODELS + SEQ_MODELS_EXTRA + SEQ_MODELS_EXTRA2:
     if name in results:
         continue
     seed_everything(1029)
@@ -141,7 +147,7 @@ mtl_train, mtl_valid, mtl_test = load_ratings_mtl()
 loaders = get_dataloader(mtl_train, mtl_valid, mtl_test, RATINGS_MTL_SCHEMA,
                          batch_size=RATINGS_BATCH)
 train_loader, valid_loader, test_loader, enc_dict = loaders
-for name in MTL_RATINGS_MODELS:
+for name in MTL_RATINGS_MODELS + MTL_RATINGS_MODELS_EXTRA:
     key = f"ratings_mtl/{name}"
     if key in results:
         continue
@@ -152,6 +158,73 @@ for name in MTL_RATINGS_MODELS:
     t0 = time.time()
     tr.fit(model, train_loader, valid_loader, epoch=RATINGS_EPOCHS, lr=1e-3)
     record(key, {"test": tr.evaluate_model(model, test_loader),
+                 "train_s": round(time.time() - t0, 1)})
+
+# ---- round 5: graph CF (NGCF), BPR protocol on ratings.csv -----------------
+if "graph/NGCF" not in results:
+    from rec_pangu_tpu.data.graph_dataset import GeneralGraphDataset
+    from rec_pangu_tpu.train import GraphTrainer
+
+    g_train, g_test, n_user, n_item = load_graph_cf()
+    seed_everything(1029)
+    train_ds = GeneralGraphDataset(g_train, n_user, n_item, phase="train")
+    test_ds = GeneralGraphDataset(g_test, n_user, n_item, phase="test")
+    g = train_ds.generate_graph()
+    model = get_model("NGCF")(num_user=n_user, num_item=n_item,
+                              embedding_dim=64, hidden_size=[64, 64], g=g)
+    gtr = GraphTrainer()
+    t0 = time.time()
+    gtr.fit(model, train_ds, epoch=GRAPH_EPOCHS, lr=1e-3,
+            batch_size=GRAPH_BATCH)
+    metric = gtr.evaluate_model(model, train_ds, test_ds, topN=GRAPH_TOPN)
+    record("graph/NGCF", {"test": {k: float(v) for k, v in metric.items()},
+                          "train_s": round(time.time() - t0, 1)})
+
+# ---- round 5: sequence zoo at 3 seeds (VERDICT r4 item 3) ------------------
+for name in SEQ_MODELS + SEQ_MODELS_EXTRA + SEQ_MODELS_EXTRA2:
+    key = f"seq3/{name}"
+    if key in results:
+        continue
+    runs = []
+    t0 = time.time()
+    for seed in SEQ_SEEDS3:
+        seed_everything(seed)
+        tl = _DL(seq_train_loader.dataset, batch_size=SEQ_BATCH,
+                 shuffle=True, seed=seed)
+        model = get_model(name)(enc_dict=enc_dict_seq, config=dict(config))
+        str3 = SequenceTrainer(model_ckpt_dir=f"/tmp/baseline_ckpt/s3_{name}_{seed}")
+        str3.fit(model, tl, None, epoch=SEQ_EPOCHS, lr=1e-3, log_rounds=100,
+                 seed=seed)
+        m = str3.evaluate_model(model, seq_test_loader)
+        runs.append({k: float(v) for k, v in m.items()})
+    r50 = [r["recall@50"] for r in runs]
+    record(key, {"seeds": dict(zip(map(str, SEQ_SEEDS3), runs)),
+                 "recall50_mean": round(sum(r50) / len(r50), 4),
+                 "recall50_min": min(r50), "recall50_max": max(r50),
+                 "train_s": round(time.time() - t0, 1)})
+
+# ---- round 5: ratings MTL at 3 seeds ---------------------------------------
+for name in MTL_RATINGS_MODELS:
+    key = f"mtl3/{name}"
+    if key in results:
+        continue
+    runs = []
+    t0 = time.time()
+    for seed in SEQ_SEEDS3:
+        seed_everything(seed)
+        tl = _DL(train_loader.dataset, batch_size=RATINGS_BATCH,
+                 shuffle=True, seed=seed)
+        model = get_model(name)(enc_dict=enc_dict)
+        tr3 = RankTrainer(num_task=2,
+                          model_ckpt_dir=f"/tmp/baseline_ckpt/m3_{name}_{seed}")
+        tr3.fit(model, tl, valid_loader, epoch=RATINGS_EPOCHS, lr=1e-3,
+                seed=seed)
+        runs.append(tr3.evaluate_model(model, test_loader))
+    a1 = [r["test_task1_roc_auc_score"] for r in runs]
+    a2 = [r["test_task2_roc_auc_score"] for r in runs]
+    record(key, {"seeds": dict(zip(map(str, SEQ_SEEDS3), runs)),
+                 "task1_auc_mean": round(sum(a1) / len(a1), 4),
+                 "task2_auc_mean": round(sum(a2) / len(a2), 4),
                  "train_s": round(time.time() - t0, 1)})
 
 print("DONE")

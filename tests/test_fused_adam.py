@@ -277,12 +277,14 @@ def test_seq_applicability_gates():
     cfg = {"embedding_dim": 32, "max_length": 24}
     batch = dict(data)
     attach_item_plan(batch, 70_000, 32)
-    # CLRec embeds augmented views of the history — table-gradient terms the
-    # capture paths do not cover
+    # CLRec (r5: fused via the combined [hist | target] lookup plan) must
+    # still REFUSE a batch whose plan covers only the hist ids — its
+    # contrastive target read would silently lose its gradient
     model = get_model("CLRec")(enc_dict=enc, config=cfg)
-    assert not getattr(model, "fused_update_compatible", False)
+    assert getattr(model, "fused_lookup_key", "") == "lookup_all"
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),
                                jax.random.PRNGKey(0))
+    assert "lookup_all" not in batch
     assert seq_fused_applicable(model, state.params, batch) is None
 
     if jax.default_backend() == "cpu":

@@ -114,6 +114,40 @@ def test_iocrec_fused_encoder_forward_equal(monkeypatch):
                                rtol=5e-4, atol=5e-4)
 
 
+def test_global_attn_kernel_matches_xla(monkeypatch):
+    """GlobalSeqEncoder's fused kernel (ops/kernels/global_attn.py) equals
+    the XLA einsum path — forward and grads, dropout off."""
+    from rec_pangu_tpu.models.sequence.iocrec import GlobalSeqEncoder
+
+    rng = np.random.default_rng(2)
+    B, L2, D2 = 8, 10, 16
+    x = jnp.asarray(rng.standard_normal((B, L2, D2)), jnp.float32)
+    enc = GlobalSeqEncoder(max_len=L2, dropout=0.5)
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "0")
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x, False)
+    co = jnp.asarray(rng.standard_normal((B, L2, D2)), jnp.float32)
+
+    def loss(p, xx, flag):
+        monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", flag)
+        return jnp.vdot(enc.apply({"params": p}, xx, False), co)
+
+    ref = enc.apply(variables, x, False)
+    gref_p, gref_x = jax.grad(loss, argnums=(0, 1))(
+        variables["params"], x, "0")
+    monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "1")
+    got = enc.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    gfu_p, gfu_x = jax.grad(loss, argnums=(0, 1))(variables["params"], x, "1")
+    tol = dict(rtol=5e-4, atol=5e-4) if INTERP else dict(rtol=8e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gfu_x), np.asarray(gref_x), **tol)
+    flat_ref = jax.tree_util.tree_leaves(gref_p)
+    flat_fu = jax.tree_util.tree_leaves(gfu_p)
+    for a, b in zip(flat_fu, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+
+
 def test_bert4rec_fused_encoder_forward_equal(monkeypatch):
     """BERT4RecEncoder through the fused kernel (bidirectional mask, no
     dropout) equals the flax path."""

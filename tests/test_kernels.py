@@ -356,8 +356,9 @@ def test_multimax_kernel_gate_covers_bench_shape(monkeypatch):
     from rec_pangu_tpu.ops.softmax_ce import _use_multimax_kernel
 
     assert multimax_kernel_ok(1024, 4, 64)
-    # v_pad for V=1M at CHUNK_V=8192 padding
-    assert _choose_tile(1024, 123 * 8192) == 512
+    # v_pad for V=1M at CHUNK_V=8192 padding; T=1024 is the r5 measured
+    # optimum (scripts/exp_multimax_roofline.py: 11.0 vs 12.7 ms fwd)
+    assert _choose_tile(1024, 123 * 8192) == 1024
     u = jnp.zeros((1024, 4, 64), jnp.float32)
     monkeypatch.setenv("REC_PANGU_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("REC_PANGU_TPU_MULTIMAX_KERNEL", "auto")

@@ -127,6 +127,115 @@ def test_tp_plan_overflow_returns_none():
     assert make_tp_sort_plan(ids, V, n_model=4, n_data=1) is None
 
 
+def test_fused_encoder_dp_matches_single_device():
+    """Fused Pallas encoder under a DP mesh (shard_map per-shard kernels,
+    VERDICT r4 item 4) must match the single-device kernel exactly —
+    forward and grads, dropout off."""
+    from rec_pangu_tpu.ops.kernels.fused_encoder import (
+        encoder_mesh_ok, fused_encoder, fused_encoder_dp, pack_params)
+    from rec_pangu_tpu.ops.sequence_enc import TransformerEncoder
+
+    N, L, D, HEADS, INNER, LAYERS = 16, 10, 8, 2, 16, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((N, L, D)), jnp.float32)
+    lens = rng.integers(1, L + 1, N)
+    key_valid = jnp.asarray(
+        (np.arange(L)[None, :] < lens[:, None]).astype(np.float32))
+    enc = TransformerEncoder(n_layers=LAYERS, n_heads=HEADS,
+                             inner_size=INNER, hidden_dropout_prob=0.0,
+                             attn_dropout_prob=0.0, hidden_act="relu",
+                             layer_norm_eps=1e-12)
+    causal = jnp.broadcast_to(
+        jnp.asarray(key_valid)[:, None, None, :].astype(bool), (N, 1, L, L))
+    causal = jnp.tril(causal)
+    params = enc.init({"params": jax.random.PRNGKey(0)}, x, causal, False)
+    packed = pack_params(params["params"], LAYERS)
+
+    def run_single(xx, pp):
+        return fused_encoder(xx, pp, key_valid, jnp.int32(0), LAYERS, HEADS,
+                             INNER, 0.0, 0.0, 1e-12, False, 4, True)
+
+    y_ref = run_single(x, packed)
+    co = jnp.asarray(rng.standard_normal((N, L, D)), jnp.float32)
+    gref_x, gref_p = jax.grad(
+        lambda xx, pp: jnp.vdot(run_single(xx, pp), co), (0, 1))(x, packed)
+
+    mesh = make_mesh(4, 1)
+    set_active_mesh(mesh)
+    ok, m, per_shard = encoder_mesh_ok(N)
+    assert ok and m is mesh and per_shard == N // 4
+
+    def run_dp(xx, pp):
+        return fused_encoder_dp(xx, pp, key_valid, jnp.int32(0), mesh,
+                                LAYERS, HEADS, INNER, 0.0, 0.0, 1e-12,
+                                False, 4, True)
+
+    y_dp = jax.jit(run_dp)(x, packed)
+    np.testing.assert_allclose(np.asarray(y_dp), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+    gdp_x, gdp_p = jax.jit(jax.grad(
+        lambda xx, pp: jnp.vdot(run_dp(xx, pp), co), (0, 1)))(x, packed)
+    np.testing.assert_allclose(np.asarray(gdp_x), np.asarray(gref_x),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(gdp_p, gref_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sasrec_trains_under_dp_mesh_with_fused_encoder(tmp_path, monkeypatch):
+    """End-to-end: SASRec under a 4-device DP mesh with the fused encoder
+    FORCED on must train (gates allow the mesh now) and produce params close
+    to the single-device fused run on the same batches."""
+    from rec_pangu_tpu.models import get_model
+    from rec_pangu_tpu.train import SequenceTrainer
+
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ENCODER", "1")
+    monkeypatch.setenv("REC_PANGU_TPU_FUSED_ADAM", "0")  # isolate encoder
+    VOCAB, Bb, Lb = 4096, 64, 8
+    rng = np.random.default_rng(11)
+    lens = rng.integers(2, Lb + 1, Bb)
+    hist = np.zeros((Bb, Lb), dtype=np.int32)
+    mask = np.zeros((Bb, Lb), dtype=np.float32)
+    for i, n in enumerate(lens):
+        hist[i, :n] = rng.integers(1, VOCAB, n)
+        mask[i, :n] = 1.0
+    batch = {"hist_item_list": hist, "hist_mask_list": mask,
+             "target_item": rng.integers(1, VOCAB, Bb).astype(np.int32)}
+    enc = {"item_id": {"vocab_size": VOCAB}}
+    cfg = {"embedding_dim": 8, "max_length": Lb, "item_col": "item_id",
+           "cate_cols": [], "device": -1, "n_layers": 1, "n_heads": 2,
+           # dropout off: the mesh path folds the shard index into the
+           # dropout seed, so streams (correctly) differ from single-device
+           "hidden_dropout_prob": 0.0, "attn_dropout_prob": 0.0}
+
+    def run(mesh_shape, tag):
+        mesh = make_mesh(*mesh_shape) if mesh_shape else None
+        model = get_model("SASRec")(enc_dict=enc, config=dict(cfg))
+        tr = SequenceTrainer(model_ckpt_dir=str(tmp_path / tag))
+        tr.fit(model, [dict(batch)] * 2, None, epoch=1, lr=1e-2, seed=5,
+               mesh=mesh)
+        return tr
+
+    t_mesh = run((4, 1), "mesh")
+    t_single = run(None, "single")
+    from jax.tree_util import keystr, tree_leaves_with_path
+
+    for (ka, a), (_, b) in zip(
+            tree_leaves_with_path(t_mesh.state.params),
+            tree_leaves_with_path(t_single.state.params)):
+        if "key']['bias" in keystr(ka):
+            # softmax scores are invariant to the key projection's bias, so
+            # its "gradient" is pure float-cancellation noise that Adam's
+            # g/sqrt(v) normalization amplifies to lr scale — reduction
+            # order (mesh psum vs single-device sum) legitimately changes
+            # it.  Verified identical-math via the one-step gradient check
+            # above; excluded here.
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=keystr(ka))
+
+
 def test_trainer_tp_planned_matches_single_device(tmp_path):
     """RankTrainer on a (4 data x 2 model) mesh with row-sharded tables and
     TP plans trains to the same parameters as single-device."""
