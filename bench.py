@@ -72,11 +72,12 @@ def _time_steps(train_step, state, batch, rng, warmup=5, steps=30):
         state, out = train_step(state, batch, rng)
     # sync via scalar fetch: block_until_ready alone is unreliable over the
     # axon relay, and fetching a scalar forces the whole dependent chain
-    float(out["loss"])
+    # (multi-step outputs carry a leading [K] axis — fetch the last)
+    float(np.asarray(out["loss"]).reshape(-1)[-1])
     start = time.perf_counter()
     for _ in range(steps):
         state, out = train_step(state, batch, rng)
-    float(out["loss"])
+    float(np.asarray(out["loss"]).reshape(-1)[-1])
     return (time.perf_counter() - start) / steps
 
 
@@ -115,13 +116,27 @@ def bench_ranking(name, num_task=1, steps=30):
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
     # fuse the table Adam update into the planned backward kernel — the dense
     # [V, D] embedding gradient never reaches HBM (docs/perf_notes.md §1)
-    state, train_step, _ = maybe_enable_fused_update(
+    state, train_step, tables = maybe_enable_fused_update(
         state, model, batch, lr=1e-3, steps_per_epoch=1)
     fused = train_step is not None
     if not fused:
         train_step = make_train_step(state.batch_stats is not None)
     from rec_pangu_tpu.train.steps import make_step_rng
 
+    if fused:
+        # production config: RankTrainer's steps_per_call path (one host
+        # dispatch scans K fused steps — amortizes the relay dispatch gap)
+        from rec_pangu_tpu.train.fused_update import make_fused_multi_step
+
+        K = 4
+        multi = make_fused_multi_step(
+            K, model, tables, 1e-3, 1,
+            has_batch_stats=state.batch_stats is not None)
+        stacked = jax.tree_util.tree_map(
+            lambda x: np.stack([np.asarray(x)] * K), batch)
+        dt_k = _time_steps(multi, state, stacked, make_step_rng(1),
+                           warmup=2, steps=max(steps // K, 6))
+        return BATCH * K / dt_k, fused
     dt = _time_steps(train_step, state, batch, make_step_rng(1), steps=steps)
     return BATCH / dt, fused
 
@@ -170,13 +185,29 @@ def bench_sequence(name, steps=20, extra_config=None):
         attach_item_plan(batch, SEQ_V + 1, SEQ_D)
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),
                                jax.random.PRNGKey(0))
-    state, train_step, _ = maybe_enable_seq_fused_update(
+    state, train_step, finfo = maybe_enable_seq_fused_update(
         state, model, batch, lr=1e-3, steps_per_epoch=1)
     fused = train_step is not None
     if not fused:
         train_step = make_train_step(state.batch_stats is not None)
     from rec_pangu_tpu.train.steps import make_step_rng
 
+    if fused:
+        # production config: the trainers' steps_per_call path — one host
+        # dispatch scans K fused steps, amortizing the relay's per-dispatch
+        # gap (the same make_seq_fused_multi_step SequenceTrainer uses)
+        import jax as _jax
+
+        from rec_pangu_tpu.train.fused_update import make_seq_fused_multi_step
+
+        K = 4
+        multi = make_seq_fused_multi_step(K, model, finfo, lr=1e-3,
+                                          steps_per_epoch=1)
+        stacked = _jax.tree_util.tree_map(
+            lambda x: np.stack([np.asarray(x)] * K), batch)
+        dt_k = _time_steps(multi, state, stacked, make_step_rng(1),
+                           warmup=2, steps=max(steps // K, 4))
+        return SEQ_B * K / dt_k, fused
     dt = _time_steps(train_step, state, batch, make_step_rng(1), steps=steps)
     return SEQ_B / dt, fused
 

@@ -107,6 +107,13 @@ class SequenceModelBase(nn.Module):
     # CE (no full-softmax term); the fused step then skips the dense-grad
     # kernel stream entirely.
     fused_uses_ce = True
+    # Param paths (tuples into the params tree) the trainer L2-renormalizes
+    # rowwise AFTER every optimizer step — the functional equivalent of the
+    # reference's in-place ``weight.copy_(normalize(weight))`` at the top of
+    # each forward (e.g. CMI, cmi.py:62-69): projecting after step t is the
+    # same weights the next forward sees.  Models with this set are clamped
+    # to steps_per_call=1 (the projection is per-step).
+    renorm_param_paths = ()
 
     def setup_base(self) -> None:
         item_col = self.config.get("item_col", "item_id")

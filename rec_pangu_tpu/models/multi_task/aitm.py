@@ -10,7 +10,8 @@ import jax.numpy as jnp
 
 from ...ops.attention import MultiHeadSelfAttention
 from ...ops.embedding import FusedEmbedding
-from ...ops.mlp import KERNEL_INIT, MLP
+from ...ops.mlp import MLP
+from .common import XAVIER
 from ..base import RankModelBase, register_model
 from ..losses import bce_loss
 
@@ -25,27 +26,34 @@ class AITM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
+        emb = FusedEmbedding(self.spec, self.embedding_dim,
+                             init_mode="xavier")(batch["sparse"], batch.get("emb_plan"))
         feat = emb.reshape(emb.shape[0], -1)
 
         tower_click = MLP(self.tower_dims, hidden_activations="relu",
                           dropout_rates=list(self.drop_prob),
+                          kernel_init=XAVIER,
+                          bias_init=nn.initializers.zeros,
                           name="click_tower")(feat, train)
         tower_conv = MLP(self.tower_dims, hidden_activations="relu",
                          dropout_rates=list(self.drop_prob),
+                         kernel_init=XAVIER,
+                         bias_init=nn.initializers.zeros,
                          name="conversion_tower")(feat, train)
 
-        info = nn.Dense(self.tower_dims[-1], kernel_init=KERNEL_INIT)(tower_click)
+        info = nn.Dense(self.tower_dims[-1], kernel_init=XAVIER,
+                         bias_init=nn.initializers.zeros)(tower_click)
         info = nn.relu(info)
         info = nn.Dropout(self.drop_prob[-1], deterministic=not train)(info)
 
         ait_in = jnp.stack([tower_conv, info], axis=1)  # [B, 2, dim]
-        ait = MultiHeadSelfAttention(name="attention_layer")(ait_in, train=train)
+        ait = MultiHeadSelfAttention(kernel_init=XAVIER,
+                                     name="attention_layer")(ait_in, train=train)
         ait = jnp.sum(ait, axis=1)
 
-        click = nn.sigmoid(nn.Dense(1, kernel_init=KERNEL_INIT,
+        click = nn.sigmoid(nn.Dense(1, kernel_init=XAVIER, bias_init=nn.initializers.zeros,
                                     name="click_layer")(tower_click))[:, 0]
-        conversion = nn.sigmoid(nn.Dense(1, kernel_init=KERNEL_INIT,
+        conversion = nn.sigmoid(nn.Dense(1, kernel_init=XAVIER, bias_init=nn.initializers.zeros,
                                          name="conversion_layer")(ait))[:, 0]
         out = {"task1_pred": click, "task2_pred": conversion}
         if train:

@@ -17,8 +17,12 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops.mlp import KERNEL_INIT
 from ..losses import bce_loss
+
+# the MTL family initializes every Linear with xavier_normal + zero bias
+# (reference _init_weights, base_model.py:28-39 — applied by all six MTL
+# models instead of the ranking family's kaiming reset_parameters)
+XAVIER = nn.initializers.xavier_normal()
 
 
 class TaskTower(nn.Module):
@@ -28,11 +32,13 @@ class TaskTower(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         for units, drop in zip(self.hidden_dim, self.dropouts):
-            x = nn.Dense(units, kernel_init=KERNEL_INIT)(x)
+            x = nn.Dense(units, kernel_init=XAVIER,
+                         bias_init=nn.initializers.zeros)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
             if drop > 0:
                 x = nn.Dropout(drop, deterministic=not train)(x)
-        x = nn.Dense(1, kernel_init=KERNEL_INIT)(x)
+        x = nn.Dense(1, kernel_init=XAVIER,
+                     bias_init=nn.initializers.zeros)(x)
         return nn.sigmoid(x)[:, 0]
 
 

@@ -11,6 +11,7 @@ from ...ops.embedding import FusedEmbedding
 from ...ops.mlp import MLP
 from ..base import RankModelBase, register_model
 from ..losses import bce_loss
+from .common import XAVIER
 
 
 @register_model("ESSM")
@@ -22,14 +23,19 @@ class ESSM(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
+        emb = FusedEmbedding(self.spec, self.embedding_dim,
+                             init_mode="xavier")(batch["sparse"], batch.get("emb_plan"))
         hidden = emb.reshape(emb.shape[0], -1)
         click = nn.sigmoid(
             MLP(self.hidden_dim, output_dim=1, hidden_activations="relu",
-                dropout_rates=list(self.dropouts), name="ctr_layer")(hidden, train))[:, 0]
+                dropout_rates=list(self.dropouts), kernel_init=XAVIER,
+                bias_init=nn.initializers.zeros,
+                name="ctr_layer")(hidden, train))[:, 0]
         conversion = nn.sigmoid(
             MLP(self.hidden_dim, output_dim=1, hidden_activations="relu",
-                dropout_rates=list(self.dropouts), name="cvr_layer")(hidden, train))[:, 0]
+                dropout_rates=list(self.dropouts), kernel_init=XAVIER,
+                bias_init=nn.initializers.zeros,
+                name="cvr_layer")(hidden, train))[:, 0]
         out = {"task1_pred": click, "task2_pred": conversion}
         if train:
             pctcvr = click * conversion

@@ -27,7 +27,8 @@ class OMOE(RankModelBase):
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
-        emb = FusedEmbedding(self.spec, self.embedding_dim)(batch["sparse"], batch.get("emb_plan"))
+        emb = FusedEmbedding(self.spec, self.embedding_dim,
+                             init_mode="xavier")(batch["sparse"], batch.get("emb_plan"))
         hidden = jnp.concatenate([emb.reshape(emb.shape[0], -1), batch["dense"]], axis=1)
         H = hidden.shape[-1]
 

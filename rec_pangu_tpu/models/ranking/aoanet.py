@@ -25,11 +25,18 @@ class GeneralizedInteraction(nn.Module):
     @nn.compact
     def __call__(self, b0: jnp.ndarray, bi: jnp.ndarray) -> jnp.ndarray:
         D = self.embedding_dim
-        W = self.param("W", lambda k, s: jnp.tile(jnp.eye(D)[None], (self.output_subspaces, 1, 1)),
-                       (self.output_subspaces, D, D))
-        alpha = self.param("alpha", nn.initializers.ones,
+        # The constructor's eye/ones inits are DEAD CODE in the reference:
+        # reset_parameters() kaiming-overwrites every >=2D param
+        # (base_model.py:42-59; aoanet.py:51 runs it), so W/alpha/h all
+        # train from kaiming noise.  Replicated (r5 — the eye/ones port was
+        # a measured -0.012 AUC on the 3-seed ratings leg).
+        from ...ops.initializers import torch_kaiming_normal
+
+        kaiming = torch_kaiming_normal()
+        W = self.param("W", kaiming, (self.output_subspaces, D, D))
+        alpha = self.param("alpha", kaiming,
                            (self.input_subspaces * self.num_fields, self.output_subspaces))
-        h = self.param("h", nn.initializers.ones, (self.output_subspaces, D, 1))
+        h = self.param("h", kaiming, (self.output_subspaces, D, 1))
         # Reference math (aoanet.py:107-115): pair index n = s*F + f (torch
         # .repeat TILES, so both factors are subspace-major), outer products
         # [B, n, D, D] fused by alpha then W/h.  Materializing the outer

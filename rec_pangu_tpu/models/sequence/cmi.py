@@ -1,11 +1,15 @@
 """CMI (parity: rec_pangu/models/sequence/cmi.py:14-194): global interest bank
 + GRU personal embedding, InfoNCE-style loss with sampled negatives.
 
-The reference re-normalizes the item/interest tables in-place under no_grad at
-every forward (cmi.py:62-69).  Functionally we use ``w / stop_grad(||w||)`` at
-read time: the tables the math sees are unit-norm, gradients are scaled by the
-same 1/||w|| factor, and the optimizer walks the raw weights — same fixed
-point, no in-place mutation under jit.
+The reference re-normalizes the item/interest tables IN PLACE under no_grad
+at every forward (cmi.py:62-69) — projected optimization.  The functional
+equivalent here: ``renorm_param_paths`` has the trainer L2-project both
+stored tables after every step (identical to projecting before the next
+forward), and reads apply ``w / stop_grad(||w||)`` — an identity on the
+projected weights that also keeps raw step functions (tests/bench) on the
+unit-sphere semantics.  Activation normalizations (psnl_interest,
+full_psnl, the clloss views) are DIFFERENTIABLE, matching the reference's
+in-graph F.normalize calls.
 """
 from __future__ import annotations
 
@@ -13,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.numerics import safe_l2norm
 from ...ops.sequence_enc import GRU, KERNEL_INIT
 from ..base import SequenceModelBase, register_model
 
@@ -36,6 +41,10 @@ class CMI(SequenceModelBase):
     lookup_extra = ("target_item", "neg_items")
     host_negatives = True
     fused_uses_ce = False
+    # the reference renormalizes BOTH tables in-place every forward
+    # (cmi.py:62-69) — projected optimization, not just normalized reads;
+    # the trainer applies the projection between steps (exact equivalent)
+    renorm_param_paths = (("item_emb", "table"), ("interest_embedding",))
 
     def setup(self):
         self.setup_base()
@@ -83,20 +92,22 @@ class CMI(SequenceModelBase):
 
         psnl_interest = jnp.broadcast_to(interest_bank[None], (B, self.n_interest,
                                                                self.embedding_dim))
-        # orthogonality regularizer on the bank (cmi.py:186-194)
-        sim = interest_bank @ interest_bank.T
-        orth = jnp.sum((sim - jnp.eye(self.n_interest)) ** 2) / (self.n_interest ** 2)
-        interest_cl = self.w_orth * orth
+        # NOTE (parity, r5): the reference computes an orth + uniform
+        # regularizer into a local ``interest_cl`` (cmi.py:80-96) but NEVER
+        # adds it to the returned loss (cmi.py:120-124 uses only
+        # calculate_cmi_loss) — dead code.  Round-4 ported the regularizer
+        # as if it were live, which at w_orth=10 over-constrains the
+        # interest bank and cost ~2x recall on the 64k leg
+        # (seq3/CMI 0.0119 vs reference 0.0240).  Behavior replicated: the
+        # regularizer is NOT applied.
 
         # one soft-assignment iteration (cmi.py:81-103)
         scores = jnp.einsum("bld,bkd->blk", seq_emb, psnl_interest) / self.temp
         probs = nn.softmax(scores, axis=-1) * (item_seq > 0)[..., None]
-        if self.w_uniform:
-            vec = jnp.sum(probs.reshape(B * L, -1), axis=0) / \
-                jnp.maximum(jnp.sum(item_seq > 0), 1)
-            interest_cl = interest_cl + self.w_uniform * vec.std() / jnp.maximum(vec.mean(), 1e-12)
         psnl_interest = jnp.einsum("blk,bld->bkd", probs, seq_emb)
-        psnl_interest = _stopgrad_norm(psnl_interest)
+        # differentiable normalize: the reference's F.normalize here is in
+        # the autodiff graph (cmi.py:97) — only the WEIGHT renorm is no_grad
+        psnl_interest = safe_l2norm(psnl_interest)
         interest_mask = jnp.sum(probs, axis=1)  # [B, K]
         psnl_interest = jnp.where(interest_mask[..., None] > 0, psnl_interest,
                                   jnp.broadcast_to(interest_bank[None], psnl_interest.shape))
@@ -105,15 +116,15 @@ class CMI(SequenceModelBase):
         gru_out, _ = self.gru(seq_emb)
         gru_out = nn.relu(self.mlp(gru_out))
         full_psnl = self.gather_indexes(gru_out, jnp.clip(lengths - 1, 0, None))
-        full_psnl = _stopgrad_norm(full_psnl)
+        full_psnl = safe_l2norm(full_psnl)
 
-        psnl_interest = _stopgrad_norm(psnl_interest + full_psnl[:, None, :])
+        psnl_interest = safe_l2norm(psnl_interest + full_psnl[:, None, :])
 
         out = {"user_emb": psnl_interest}
         if train:
             out["global_user_emb"] = full_psnl
             out["loss"] = self._cmi_loss(psnl_interest, batch["target_item"],
-                                         pos_neg_emb) + interest_cl
+                                         pos_neg_emb)
         return out
 
     def _cmi_loss(self, psnl_interest, pos_items, pos_neg_emb):
@@ -140,8 +151,8 @@ class CMI(SequenceModelBase):
     def _multi_inter_clloss(self, user_interests):
         B, K, D = user_interests.shape
         pairs = user_interests.reshape(B // 2, 2, K, D)
-        a = _stopgrad_norm(pairs[:, 0].reshape(-1, D))
-        b = _stopgrad_norm(pairs[:, 1].reshape(-1, D))
+        a = safe_l2norm(pairs[:, 0].reshape(-1, D))
+        b = safe_l2norm(pairs[:, 1].reshape(-1, D))
         sim = (a @ b.T) / self.temperature
         labels = jnp.arange(sim.shape[0])
         ce_ab = -jnp.mean(jnp.take_along_axis(nn.log_softmax(sim, axis=-1),

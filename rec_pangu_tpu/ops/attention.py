@@ -51,6 +51,9 @@ class MultiHeadAttention(nn.Module):
     layer_norm: bool = False
     align_to: str = "input"
     final_relu: bool = True  # the reference always relus its output
+    # None = kaiming (ranking family); AITM passes xavier_normal to match
+    # its _init_weights convention (base_model.py:28-39)
+    kernel_init: Optional[object] = None
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, train: bool = True):
@@ -59,8 +62,10 @@ class MultiHeadAttention(nn.Module):
         output_dim = self.num_heads * dh
         scale = dh**0.5 if self.use_scale else None
 
+        k_init = self.kernel_init or KERNEL_INIT
+
         def proj(x, name):
-            return nn.Dense(output_dim, use_bias=False, kernel_init=KERNEL_INIT,
+            return nn.Dense(output_dim, use_bias=False, kernel_init=k_init,
                             name=name)(x)
 
         B, L = query.shape[0], query.shape[1]
@@ -81,16 +86,16 @@ class MultiHeadAttention(nn.Module):
         if input_dim != output_dim:
             if self.align_to == "output":  # AutoInt style: project residual up
                 residual = nn.Dense(output_dim, use_bias=False,
-                                    kernel_init=KERNEL_INIT, name="W_res")(residual)
+                                    kernel_init=k_init, name="W_res")(residual)
             else:  # transformer style: project output back down
                 out = nn.Dense(input_dim, use_bias=False,
-                               kernel_init=KERNEL_INIT, name="W_res")(out)
+                               kernel_init=k_init, name="W_res")(out)
         if self.dropout_rate > 0:
             out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
         if self.use_residual:
             out = out + residual
         if self.layer_norm:
-            out = nn.LayerNorm()(out)
+            out = nn.LayerNorm(1e-5)(out)  # torch default eps (attention.py:60)
         if self.final_relu:
             out = nn.relu(out)
         return out, att

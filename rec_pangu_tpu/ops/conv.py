@@ -71,9 +71,9 @@ class ResBlockTwoMasked(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = MaskedConv1d(self.channels, self.kernel_size, self.dilation)(x)
-        y = nn.relu(nn.LayerNorm()(y))
+        y = nn.relu(nn.LayerNorm(1e-5)(y))
         y = MaskedConv1d(self.channels, self.kernel_size, 2 * self.dilation)(y)
-        y = nn.relu(nn.LayerNorm()(y))
+        y = nn.relu(nn.LayerNorm(1e-5)(y))
         return y + x
 
 
@@ -89,11 +89,11 @@ class ResBlockOneMasked(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.channels // 2
-        y = nn.relu(nn.LayerNorm()(x))
+        y = nn.relu(nn.LayerNorm(1e-5)(x))
         y = nn.Dense(mid, kernel_init=KERNEL_INIT)(y)
-        y = nn.relu(nn.LayerNorm()(y))
+        y = nn.relu(nn.LayerNorm(1e-5)(y))
         y = MaskedConv1d(mid, self.kernel_size, self.dilation)(y)
-        y = nn.relu(nn.LayerNorm()(y))
+        y = nn.relu(nn.LayerNorm(1e-5)(y))
         y = nn.Dense(self.channels, kernel_init=KERNEL_INIT)(y)
         return y + x
 

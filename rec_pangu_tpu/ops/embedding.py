@@ -37,17 +37,44 @@ EMB_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 TABLE_INIT = torch_kaiming_normal()
 
 
+def xavier_table_init(spec: "FeatureSpec", dim: int):
+    """Per-feature xavier_normal over the fused table: feature f's rows get
+    std sqrt(2 / (rows_f + D)) — exactly torch ``xavier_normal_`` on each
+    per-feature ``nn.Embedding(vocab_f + 1, D)`` weight, which is what the
+    reference's multi-task ``_init_weights`` applies
+    (rec_pangu/models/base_model.py:28-39; every MTL model runs
+    ``self.apply(self._init_weights)`` instead of the ranking family's
+    kaiming ``reset_parameters``)."""
+    import numpy as np
+
+    def init(key, shape, dtype=jnp.float32):
+        stds = np.zeros((shape[0], 1), np.float32)
+        offsets = spec.offsets
+        for i, rows in enumerate(spec.sparse_vocab_rows):
+            start = int(offsets[i])
+            stds[start:start + int(rows)] = float(
+                np.sqrt(2.0 / (int(rows) + dim)))
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(stds)
+
+    return init
+
+
 class FusedEmbedding(nn.Module):
     spec: FeatureSpec
     embedding_dim: int
+    # "kaiming" = the ranking family's reset_parameters convention;
+    # "xavier" = the MTL family's _init_weights convention (per-feature)
+    init_mode: str = "kaiming"
 
     def setup(self):
         from .kernels.embedding_grad import padded_rows
 
         # big tables are padded to a tile multiple so the planned backward
         # writes the grad at its final shape (pad rows are never indexed)
+        init = (xavier_table_init(self.spec, self.embedding_dim)
+                if self.init_mode == "xavier" else TABLE_INIT)
         self.table = self.param(
-            "table", TABLE_INIT,
+            "table", init,
             (padded_rows(self.spec.total_rows), self.embedding_dim)
         )
         self._offsets = jnp.asarray(self.spec.offsets)

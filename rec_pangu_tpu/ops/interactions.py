@@ -179,12 +179,12 @@ class MaskBlock(nn.Module):
     def __call__(self, net: jnp.ndarray, mask_input: jnp.ndarray) -> jnp.ndarray:
         input_dim = net.shape[-1]
         agg = int(mask_input.shape[-1] * self.reduction_factor)
-        net = nn.LayerNorm()(net)
+        net = nn.LayerNorm(1e-5)(net)  # torch default eps (interaction.py:269)
         mask = nn.Dense(agg, kernel_init=KERNEL_INIT)(mask_input)
         mask = nn.relu(mask)
         mask = nn.Dense(input_dim, kernel_init=KERNEL_INIT)(mask)
         hidden = nn.Dense(self.output_size, kernel_init=KERNEL_INIT)(net * mask)
-        return nn.LayerNorm()(hidden)
+        return nn.LayerNorm(1e-5)(hidden)  # torch default eps (interaction.py:277)
 
 
 class InteractionMachine(nn.Module):

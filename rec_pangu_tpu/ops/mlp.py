@@ -25,6 +25,11 @@ class MLP(nn.Module):
     dropout_rates: Union[float, Sequence[float]] = 0.1
     batch_norm: bool = False
     use_bias: bool = True
+    # None = the ranking family's convention (kaiming kernel + torch uniform
+    # bias); the MTL family passes xavier_normal + zeros to match the
+    # reference's _init_weights (base_model.py:28-39)
+    kernel_init: Optional[object] = None
+    bias_init: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -39,9 +44,11 @@ class MLP(nn.Module):
             if not isinstance(self.dropout_rates, (list, tuple))
             else list(self.dropout_rates)
         )
+        k_init = self.kernel_init or KERNEL_INIT
         for i, units in enumerate(self.hidden_units):
-            x = nn.Dense(units, use_bias=self.use_bias, kernel_init=KERNEL_INIT,
-                         bias_init=torch_linear_bias(x.shape[-1]))(x)
+            x = nn.Dense(units, use_bias=self.use_bias, kernel_init=k_init,
+                         bias_init=self.bias_init
+                         or torch_linear_bias(x.shape[-1]))(x)
             if self.batch_norm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
             if acts[i]:
@@ -53,8 +60,9 @@ class MLP(nn.Module):
                 x = nn.Dropout(rate=float(drops[i]), deterministic=not train)(x)
         if self.output_dim is not None:
             x = nn.Dense(self.output_dim, use_bias=self.use_bias,
-                         kernel_init=KERNEL_INIT,
-                         bias_init=torch_linear_bias(x.shape[-1]))(x)
+                         kernel_init=k_init,
+                         bias_init=self.bias_init
+                         or torch_linear_bias(x.shape[-1]))(x)
         if self.output_activation is not None:
             x = get_activation(self.output_activation)(x)
         return x

@@ -169,17 +169,26 @@ class BERT4RecEncoder(nn.Module):
         B, L, H = seq.shape
         len_range = jnp.arange(L)
         valid = len_range[None, :] < lengths[:, None]  # [B, L] bool
-        position = len_range[None, :] * valid.astype(jnp.int32)
         from .initializers import torch_kaiming_normal
 
         # table init: torch kaiming fan_in = H (not rows) — see ops/embedding.py
-        p_emb = nn.Embed(self.max_his + 1, H,
-                         embedding_init=torch_kaiming_normal(),
-                         name="p_embeddings")(position)
+        p_table = nn.Embed(self.max_his + 1, H,
+                           embedding_init=torch_kaiming_normal(),
+                           name="p_embeddings").embedding
+        # The position ids are STRUCTURED (row l at position l when valid,
+        # row 0 at padding), so the lookup is a static slice + masked select
+        # — the nn.Embed gather's BACKWARD was a row-serial scatter of B*L
+        # rows into this tiny table (~8 ms at [3072, 50] on v5e, the single
+        # largest piece of the BERT4Rec-encoder wrapper; r5 ContraRec
+        # profile).  Dense select backward is a batch reduction instead.
+        p_emb = jnp.where(valid[:, :, None], p_table[None, :L],
+                          p_table[0][None, None])
         x = seq + p_emb
+        # layer_norm_eps 1e-5: the reference's BERT4Rec TransformerLayer uses
+        # torch-default LayerNorms (layers/sequence.py:213,219)
         enc = TransformerEncoder(self.num_layers, self.num_heads, inner_size=H,
                                  hidden_dropout_prob=0.0, attn_dropout_prob=0.0,
-                                 hidden_act="relu")
+                                 hidden_act="relu", layer_norm_eps=1e-5)
         if self._use_fused(B, H):
             from .kernels.embedding_grad import _interpret
             from .kernels.fused_encoder import (encoder_mesh_ok, encoder_tb,
@@ -195,12 +204,12 @@ class BERT4RecEncoder(nn.Module):
             if mesh is not None:
                 x = fused_encoder_dp(x, packed, valid, jnp.int32(0), mesh,
                                      self.num_layers, self.num_heads, H,
-                                     0.0, 0.0, 1e-12, False, encoder_tb(),
+                                     0.0, 0.0, 1e-5, False, encoder_tb(),
                                      _interpret(), False)
             else:
                 x = fused_encoder(x, packed, valid, jnp.int32(0),
                                   self.num_layers, self.num_heads, H, 0.0,
-                                  0.0, 1e-12, False, encoder_tb(),
+                                  0.0, 1e-5, False, encoder_tb(),
                                   _interpret(), False)
         else:
             attn_mask = valid[:, None, None, :]  # bidirectional padding mask

@@ -16,6 +16,28 @@ import jax.numpy as jnp
 import optax
 
 
+def make_param_renorm(paths):
+    """Jitted rowwise L2 projection of the given param-tree paths (zero rows
+    stay zero, matching torch F.normalize).  Used by trainers for models
+    declaring ``renorm_param_paths`` — the functional equivalent of the
+    reference's in-place ``weight.copy_(F.normalize(weight))`` at the top of
+    each forward (e.g. CMI, rec_pangu/models/sequence/cmi.py:62-69)."""
+    from flax import traverse_util
+
+    path_set = {tuple(p) for p in paths}
+
+    @jax.jit
+    def renorm(params):
+        flat = traverse_util.flatten_dict(params)
+        for p in path_set:
+            w = flat[p]
+            n = jnp.linalg.norm(w, axis=-1, keepdims=True)
+            flat[p] = w / jnp.maximum(n, 1e-12)
+        return traverse_util.unflatten_dict(flat)
+
+    return renorm
+
+
 def make_step_rng(seed: int) -> jax.Array:
     """Per-step dropout/routing rng root.  REC_PANGU_TPU_RNG_IMPL=rbg swaps
     the threefry generator for the TPU-native RBG: same distribution,

@@ -610,6 +610,26 @@ class SequenceTrainer(_BaseTrainer):
             self._train_step = fstep
             logger.info("Item-table Adam update fused into the planned "
                         "backward kernel (hist + softmax-CE grads)")
+        renorm_paths = tuple(getattr(model, "renorm_param_paths", ()) or ())
+        if renorm_paths:
+            # projected optimization (reference in-forward renorm, e.g. CMI):
+            # L2-renormalize the declared rows after every step; project the
+            # fresh init too (the reference's first forward normalizes the
+            # init before anything reads it)
+            from .steps import make_param_renorm
+
+            renorm = make_param_renorm(renorm_paths)
+            self.state = self.state.replace(params=renorm(self.state.params))
+            base_step = self._train_step
+
+            def _renormed_step(state, batch, rng, _bs=base_step):
+                state, out = _bs(state, batch, rng)
+                return state.replace(params=renorm(state.params)), out
+
+            self._train_step = _renormed_step
+            if getattr(self, "_fused_step", None) is not None:
+                self._fused_step = _renormed_step
+            steps_per_call = 1  # the projection is per-step
         # K-step scan: one host dispatch per K optimizer steps — the
         # expensive sequence zoo amortizes dispatch the same way RankTrainer
         # does (VERDICT r2 item 4)

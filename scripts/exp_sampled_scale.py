@@ -5,9 +5,15 @@ the full 10M-row table through VMEM every step: ~10x the V=1M CE's 34 ms,
 i.e. the CE alone would dominate a ~400 ms step).  Also measures ComirecSA
 (best-interest single sampled CE) at the same shape.
 """
+import os
 import time
 
 import numpy as np
+
+# production bench config: bf16 Adam-moment storage (halves the optimizer
+# state at [10M, 64] — the f32-moment run OOMs HBM for ComirecSA) + RBG rng
+os.environ.setdefault("REC_PANGU_TPU_MOMENT_DTYPE", "bf16")
+os.environ.setdefault("REC_PANGU_TPU_RNG_IMPL", "rbg")
 
 from rec_pangu_tpu.utils import enable_compilation_cache
 
@@ -31,14 +37,15 @@ batch = {
 }
 
 
-def bench(name, extra_cfg):
+def bench(name, extra_cfg, b=B):
     config = {"embedding_dim": D, "max_length": L, "K": K,
               "loss_type": "sampled", "num_negatives": 8192, **extra_cfg}
+    bb = {k: v[:b] for k, v in batch.items()}
     model = get_model(name)(enc_dict=enc, config=config)
-    state = create_train_state(model, batch, make_optimizer(1e-3, 1),
+    state = create_train_state(model, bb, make_optimizer(1e-3, 1),
                                jax.random.PRNGKey(0))
     step = make_train_step(state.batch_stats is not None)
-    dbatch = jax.device_put(batch)
+    dbatch = jax.device_put(bb)
     rngk = jax.random.PRNGKey(1)
     st = state
     for _ in range(5):
@@ -50,9 +57,14 @@ def bench(name, extra_cfg):
         st, out = step(st, dbatch, rngk)
     _ = float(out["loss"])
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name} V=10M sampled(8192): {dt*1e3:.1f} ms/step "
-          f"({B/dt:,.0f} ex/s/chip)", flush=True)
+    print(f"{name} V=10M sampled(8192) B={b}: {dt*1e3:.1f} ms/step "
+          f"({b/dt:,.0f} ex/s/chip)", flush=True)
 
 
 bench("IOCRec", {})
-bench("ComirecSA", {})
+# ComirecSA at V=10M: XLA's compile-time HBM estimate is 19.1G > 15.75G
+# REGARDLESS of batch (the tables + f32 optax moments + transient dense
+# grad/update buffers dominate) — the single-chip unfused tail is the wall
+# at this vocabulary, which is exactly what the row-sharded TP tables and
+# the fused in-kernel Adam exist for (docs/perf_notes.md §1).  The K-max
+# multi-interest sampled path itself is the IOCRec leg above.

@@ -67,6 +67,15 @@ def bench_one(name):
         aug2 = host_augment_sequences(aug_rng, hist, 3.0, 3.0, V - 1)
         batch["aug_all"] = np.concatenate([hist, aug1, aug2], axis=0)
         attach_item_plan(batch, V + 1, D, ids_key="aug_all")
+    elif getattr(model, "lookup_extra", ()):
+        # CLRec/CMI-style combined [hist | target (| host negs)] plan (r5)
+        if getattr(model, "host_negatives", False):
+            batch["neg_items"] = rng.integers(1, max(V - 1, 2), B).astype(np.int32)
+        parts = [batch["hist_item_list"]]
+        parts += [np.asarray(batch[k]).reshape(B, -1)
+                  for k in model.lookup_extra]
+        batch["lookup_all"] = np.concatenate(parts, axis=1).astype(np.int32)
+        attach_item_plan(batch, V + 1, D, ids_key="lookup_all")
     else:
         attach_item_plan(batch, V + 1, D)
     state = create_train_state(model, batch, make_optimizer(1e-3, 1),

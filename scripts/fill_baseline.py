@@ -203,6 +203,23 @@ for name in SEQ_MODELS + SEQ_MODELS_EXTRA + SEQ_MODELS_EXTRA2:
                  "recall50_min": min(r50), "recall50_max": max(r50),
                  "train_s": round(time.time() - t0, 1)})
 
+# ---- round 5: sampled-CE quality A/B (VERDICT r4 item 7) -------------------
+# The scale knob has no reference counterpart; quality is compared against
+# THIS framework's full-softmax legs above on the same protocol/seed.
+for name in ["IOCRec", "ComirecSA", "MIND"]:
+    key = f"sampled/{name}"
+    if key in results:
+        continue
+    seed_everything(1029)
+    cfg = dict(config, loss_type="sampled", num_negatives=1024)
+    model = get_model(name)(enc_dict=enc_dict_seq, config=cfg)
+    trs = SequenceTrainer(model_ckpt_dir=f"/tmp/baseline_ckpt/sampled_{name}")
+    t0 = time.time()
+    trs.fit(model, seq_train_loader, None, epoch=SEQ_EPOCHS, lr=1e-3,
+            log_rounds=100)
+    record(key, {"test": trs.evaluate_model(model, seq_test_loader),
+                 "train_s": round(time.time() - t0, 1)})
+
 # ---- round 5: ratings MTL at 3 seeds ---------------------------------------
 for name in MTL_RATINGS_MODELS:
     key = f"mtl3/{name}"

@@ -347,7 +347,10 @@ for name in SEQ_MODELS + SEQ_MODELS_EXTRA + SEQ_MODELS_EXTRA2:
         str3.fit(model, seq_train_loader, None, epoch=SEQ_EPOCHS, lr=1e-3,
                  log_rounds=100)
         m = str3.evaluate_model(model, seq_test_loader)
-        runs.append({k: float(v) for k, v in m.items()})
+        # the metric dict carries non-numeric entries (e.g. a phase tag) —
+        # keep numerics only, as the single-seed section above does
+        runs.append({k: float(v) for k, v in m.items()
+                     if isinstance(v, (int, float, np.floating))})
     r50 = [r["recall@50"] for r in runs]
     record(key, {"seeds": dict(zip(map(str, SEQ_SEEDS3), runs)),
                  "recall50_mean": round(sum(r50) / len(r50), 4),
