@@ -123,27 +123,21 @@ def bench_ranking(name, num_task=1, steps=30):
         train_step = make_train_step(state.batch_stats is not None)
     from rec_pangu_tpu.train.steps import make_step_rng
 
-    if fused:
-        # production config: RankTrainer's steps_per_call path (one host
-        # dispatch scans K fused steps — amortizes the relay dispatch gap)
-        from rec_pangu_tpu.train.fused_update import make_fused_multi_step
-
-        K = 4
-        multi = make_fused_multi_step(
-            K, model, tables, 1e-3, 1,
-            has_batch_stats=state.batch_stats is not None)
-        stacked = jax.tree_util.tree_map(
-            lambda x: np.stack([np.asarray(x)] * K), batch)
-        dt_k = _time_steps(multi, state, stacked, make_step_rng(1),
-                           warmup=2, steps=max(steps // K, 6))
-        return BATCH * K / dt_k, fused
+    # NOTE (r5): a K-step lax.scan bench variant measured NET SLOWER for
+    # these legs (DeepFM 1.69M -> 1.25M ex/s) — the scan carry forces
+    # full-table copy-backs between iterations that single-step dispatch
+    # avoids (the same effect the no-donation note on
+    # make_fused_update_train_step documents).  Single-step stays.
     dt = _time_steps(train_step, state, batch, make_step_rng(1), steps=steps)
     return BATCH / dt, fused
 
 
-def bench_sequence(name, steps=20, extra_config=None):
+def bench_sequence(name, steps=20, extra_config=None, steps_per_call=1):
     """Sequence-recall models on the retrieval bench shape.  Returns
-    (examples_per_s, fused_engaged)."""
+    (examples_per_s, fused_engaged).  ``steps_per_call`` > 1 measures the
+    trainers' K-step-scan production path — a win only for expensive steps
+    (IOCRec: +2%), because the scan carry copies the tables back each
+    iteration (see the note in bench_ranking)."""
     import jax
 
     from rec_pangu_tpu.models import get_model
@@ -192,22 +186,18 @@ def bench_sequence(name, steps=20, extra_config=None):
         train_step = make_train_step(state.batch_stats is not None)
     from rec_pangu_tpu.train.steps import make_step_rng
 
-    if fused:
-        # production config: the trainers' steps_per_call path — one host
-        # dispatch scans K fused steps, amortizing the relay's per-dispatch
-        # gap (the same make_seq_fused_multi_step SequenceTrainer uses)
-        import jax as _jax
-
+    if fused and steps_per_call > 1:
         from rec_pangu_tpu.train.fused_update import make_seq_fused_multi_step
 
-        K = 4
+        K = steps_per_call
         multi = make_seq_fused_multi_step(K, model, finfo, lr=1e-3,
                                           steps_per_epoch=1)
-        stacked = _jax.tree_util.tree_map(
+        stacked = jax.tree_util.tree_map(
             lambda x: np.stack([np.asarray(x)] * K), batch)
         dt_k = _time_steps(multi, state, stacked, make_step_rng(1),
                            warmup=2, steps=max(steps // K, 4))
         return SEQ_B * K / dt_k, fused
+    # single-step default — see the K-step scan note in bench_ranking
     dt = _time_steps(train_step, state, batch, make_step_rng(1), steps=steps)
     return SEQ_B / dt, fused
 
@@ -260,7 +250,7 @@ PLANS = [
     ("MMOE", lambda: bench_ranking("MMOE", num_task=2)),
     ("SASRec", lambda: bench_sequence("SASRec")),
     ("GRU4Rec", lambda: bench_sequence("GRU4Rec")),
-    ("IOCRec", lambda: bench_sequence("IOCRec", steps=8)),
+    ("IOCRec", lambda: bench_sequence("IOCRec", steps=8, steps_per_call=4)),
     ("SRGNN", lambda: bench_sequence("SRGNN")),
 ]
 

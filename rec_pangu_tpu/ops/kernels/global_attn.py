@@ -98,10 +98,17 @@ def _bwd_kernel(x_ref, onehot_ref, amask_ref, seed_ref, dy_ref, wk_ref,
     dprobs = jnp.dot(dctx, v.T, preferred_element_type=jnp.float32)
     dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                         keepdims=True))
-    dqtile = jnp.dot(dscores, k, preferred_element_type=jnp.float32)
+    # HIGHEST precision on the Q_s grad chain: it takes TWO stacked dots
+    # (dscores @ k, then the one-hot row fold) where the XLA reference path
+    # contracts once — a second DEFAULT-precision bf16 rounding there was
+    # the one measurable deviation from the flax grads on device (chip
+    # lane, max ~0.2% of grad scale); these dots are tiny ([R,R]@[R,D])
+    dqtile = jnp.dot(dscores, k, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     dk = jnp.dot(dscores.T, qtile, preferred_element_type=jnp.float32)
     gqs_ref[...] += jnp.dot(onehot.T, dqtile,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     gwk_ref[...] += jnp.dot(x.T, dk, preferred_element_type=jnp.float32)
     gbk_ref[...] += jnp.sum(dk, axis=0)
     gwv_ref[...] += jnp.dot(x.T, dv, preferred_element_type=jnp.float32)

@@ -145,7 +145,17 @@ def test_global_attn_kernel_matches_xla(monkeypatch):
     flat_ref = jax.tree_util.tree_leaves(gref_p)
     flat_fu = jax.tree_util.tree_leaves(gfu_p)
     for a, b in zip(flat_fu, flat_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+        b = np.asarray(b)
+        leaf_tol = dict(tol)
+        if not INTERP:
+            # on device BOTH paths carry DEFAULT-precision (bf16-MXU)
+            # rounding of order ~3e-3 x the leaf's gradient scale — the
+            # flax reference is not exact either (the Q_s grad measured
+            # ~0.047 abs deviation at grad scale ~25 with the kernel's own
+            # dots forced to HIGHEST); compare at a scale-aware atol
+            leaf_tol["atol"] = max(tol["atol"],
+                                   3e-3 * float(np.abs(b).max() or 1.0))
+        np.testing.assert_allclose(np.asarray(a), b, **leaf_tol)
 
 
 def test_bert4rec_fused_encoder_forward_equal(monkeypatch):
